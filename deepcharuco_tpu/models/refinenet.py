@@ -1,0 +1,80 @@
+"""RefineNet — per-corner sub-pixel refinement head in Flax.
+
+Architecture parity with reference ``src/models/refinenet.py:9-83``: input a
+24×24 grayscale patch centered on a detected corner; output a 64×64 heatmap of
+the central 8×8 region at 8× resolution. The early convs use **VALID padding**
+(24→22→20→18→16 spatial, ``refinenet.py:21-27``), then a 2×2 max-pool to 8,
+two SAME conv pairs around nearest-neighbour ×2 upsamples (8→16→32→64), and a
+1×1 head conv with no activation.
+
+Channel plan (ref ``refinenet.py:16``): 64, 128, 128, 128, 64, head 64→1.
+BatchNorm before ReLU throughout, torch-default eps/momentum (see
+:class:`deepcharuco_tpu.models.detector.ConvBNRelu`).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from deepcharuco_tpu.models.detector import ConvBNRelu, _pool
+
+
+def _upsample_nearest_2x(x):
+    """Nearest-neighbour ×2 upsample (torch UpsamplingNearest2d semantics)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+class _ConvBNReluValid(nn.Module):
+    """3×3 VALID-padding conv → BN → ReLU (RefineNet's shrinking early stage)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (3, 3), padding="VALID", dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, param_dtype=self.param_dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+class RefineNet(nn.Module):
+    """(N, 24, 24, 1) patch → (N, 64, 64, 1) sub-pixel heatmap."""
+
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1, c2, c3, c4, c5 = 64, 128, 128, 128, 64
+        dt = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        x = x.astype(self.dtype)
+        # Shrinking stage, VALID padding (ref refinenet.py:56-62): 24 → 16.
+        x = _ConvBNReluValid(c1, name="conv1a", **dt)(x, train)
+        x = _ConvBNReluValid(c1, name="conv1b", **dt)(x, train)
+        x = _ConvBNReluValid(c2, name="conv2a", **dt)(x, train)
+        x = _ConvBNReluValid(c2, name="conv2b", **dt)(x, train)
+        x = _pool(x)  # 16 → 8
+
+        x = ConvBNRelu(c3, name="conv3a", **dt)(x, train)
+        x = ConvBNRelu(c3, name="conv3b", **dt)(x, train)
+        x = _upsample_nearest_2x(x)  # 8 → 16
+        x = ConvBNRelu(c4, name="conv4a", **dt)(x, train)
+        x = ConvBNRelu(c4, name="conv4b", **dt)(x, train)
+        x = _upsample_nearest_2x(x)  # 16 → 32
+        x = ConvBNRelu(c5, name="conv5a", **dt)(x, train)
+        x = ConvBNRelu(c5, name="conv5b", **dt)(x, train)
+        x = _upsample_nearest_2x(x)  # 32 → 64
+
+        # Head (ref refinenet.py:81-83): conv-bn-relu then 1×1, no activation.
+        x = ConvBNRelu(64, name="convPa", **dt)(x, train)
+        heat = nn.Conv(1, (1, 1), name="convPb", **dt)(x)
+        return heat.astype(jnp.float32)

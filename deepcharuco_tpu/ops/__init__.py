@@ -1,0 +1,23 @@
+from deepcharuco_tpu.ops.image import bgr_to_gray, normalize_gray, preprocess_bgr
+from deepcharuco_tpu.ops.decode import (
+    pred_argmax,
+    label_to_keypoints,
+    pred_to_keypoints,
+    heatmap_argmax2d,
+    refine_keypoints,
+)
+from deepcharuco_tpu.ops.patches import extract_patches
+from deepcharuco_tpu.ops.heatmap import gaussian_heatmap
+
+__all__ = [
+    "bgr_to_gray",
+    "normalize_gray",
+    "preprocess_bgr",
+    "pred_argmax",
+    "label_to_keypoints",
+    "pred_to_keypoints",
+    "heatmap_argmax2d",
+    "refine_keypoints",
+    "extract_patches",
+    "gaussian_heatmap",
+]

@@ -1,0 +1,123 @@
+"""Static-shape corner decode — the core torch→XLA semantic translation.
+
+The reference decodes detections with data-dependent shapes
+(``src/models/model_utils.py:53-123``): channel-argmax both heads, mask cells
+whose ids-argmax is not the dustbin, and emit a *variable-length* list of
+keypoints. Variable shapes don't jit, so here decode emits **fixed-capacity,
+id-indexed** arrays: one slot per corner id, plus a validity mask. Everything
+downstream (patch gather, RefineNet, PnP) runs masked at full capacity.
+
+Behavioral delta vs the reference (documented, tested): when several cells
+claim the same corner id, the reference keeps *all* of them
+(``model_utils.py:111-123``), while we keep the single cell with the highest
+ids-head confidence. For a physical board each id exists once, so on real
+detections the two decodes agree; duplicate-id cells are model noise that the
+reference's downstream consumers (PnP by id, metrics by id) effectively
+collapse anyway.
+
+Coordinate convention (identical to reference ``model_utils.py:118-122``):
+``x = 8·col + pix % 8``, ``y = 8·row + pix // 8`` with ``pix`` the loc-head
+argmax in the 8×8 cell, dustbin channels 64 (loc) / n_ids (ids).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def pred_argmax(loc_hat: jnp.ndarray, ids_hat: jnp.ndarray, dust_bin_ids: int):
+    """Channel argmax of both heads with dustbin suppression.
+
+    Parity with reference ``pred_argmax`` (``model_utils.py:53-78``), NHWC:
+    ``loc_hat`` (N, Hc, Wc, 65), ``ids_hat`` (N, Hc, Wc, n_ids+1).
+    Returns (loc_argmax, ids_argmax), both (N, Hc, Wc) int32.
+    """
+    loc_argmax = jnp.argmax(loc_hat, axis=-1).astype(jnp.int32)
+    ids_argmax = jnp.argmax(ids_hat, axis=-1).astype(jnp.int32)
+    ids_argmax = jnp.where(loc_argmax == 64, dust_bin_ids, ids_argmax)
+    return loc_argmax, ids_argmax
+
+
+def label_to_keypoints(loc: jnp.ndarray, ids: jnp.ndarray, dust_bin_ids: int,
+                       scores: jnp.ndarray | None = None):
+    """Decode (loc, ids) class-index maps to fixed-capacity keypoints.
+
+    Parameters
+    ----------
+    loc, ids : (N, Hc, Wc) int — class-index maps (model argmax or labels).
+    dust_bin_ids : number of corner ids (the dustbin class index).
+    scores : optional (N, Hc, Wc) float — per-cell confidence used to break
+        duplicate-id ties (highest wins). Defaults to uniform, in which case
+        the *last* cell in row-major order wins.
+
+    Returns
+    -------
+    keypoints : (N, n_ids, 2) float32 — (x, y) in original resolution,
+        slot k holds corner id k.
+    valid : (N, n_ids) bool — slot occupancy.
+    """
+    n, hc, wc = loc.shape
+    m = hc * wc
+    n_ids = dust_bin_ids
+    loc_f = loc.reshape(n, m)
+    ids_f = ids.reshape(n, m)
+    mask = ids_f != dust_bin_ids
+
+    if scores is None:
+        # row-major index as score → deterministic winner among duplicates
+        score_f = jnp.broadcast_to(
+            jnp.arange(m, dtype=jnp.float32)[None, :], (n, m)
+        )
+    else:
+        score_f = scores.reshape(n, m).astype(jnp.float32)
+
+    id_range = jnp.arange(n_ids, dtype=ids_f.dtype)
+    # (N, n_ids, M): score where the cell claims this id, else -inf
+    claims = (ids_f[:, None, :] == id_range[None, :, None]) & mask[:, None, :]
+    neg_inf = jnp.float32(-jnp.inf)
+    sel_scores = jnp.where(claims, score_f[:, None, :], neg_inf)
+    best_cell = jnp.argmax(sel_scores, axis=-1).astype(jnp.int32)  # (N, n_ids)
+    valid = jnp.any(claims, axis=-1)  # (N, n_ids)
+
+    row = best_cell // wc
+    col = best_cell % wc
+    pix = jnp.take_along_axis(loc_f, best_cell, axis=-1)
+    x = 8 * col + pix % 8
+    y = 8 * row + pix // 8
+    keypoints = jnp.stack([x, y], axis=-1).astype(jnp.float32)
+    return keypoints, valid
+
+
+def pred_to_keypoints(loc_hat: jnp.ndarray, ids_hat: jnp.ndarray, dust_bin_ids: int):
+    """Model heads → fixed-capacity keypoints (ref ``pred_to_keypoints``,
+    ``model_utils.py:81-88``). Ties between duplicate-id cells break by
+    ids-head confidence (the winning channel's logit)."""
+    loc_argmax, ids_argmax = pred_argmax(loc_hat, ids_hat, dust_bin_ids)
+    conf = jnp.max(ids_hat, axis=-1)  # (N, Hc, Wc)
+    return label_to_keypoints(loc_argmax, ids_argmax, dust_bin_ids, scores=conf)
+
+
+def heatmap_argmax2d(heat: jnp.ndarray) -> jnp.ndarray:
+    """Flat argmax of (..., H, W) heatmaps → (..., 2) float32 (x, y).
+
+    Parity with reference ``speedy_bargmax2d`` (``model_utils.py:39-43``).
+    """
+    h, w = heat.shape[-2], heat.shape[-1]
+    flat = heat.reshape(*heat.shape[:-2], h * w)
+    idx = jnp.argmax(flat, axis=-1)
+    return jnp.stack([idx % w, idx // w], axis=-1).astype(jnp.float32)
+
+
+def refine_keypoints(heat: jnp.ndarray, keypoints: jnp.ndarray) -> jnp.ndarray:
+    """RefineNet heatmap decode: 64×64 argmax mapped back to original resolution.
+
+    ``refined = keypoint + (argmax − 32)/8`` — reference
+    ``RefineNet.infer_patches`` (``src/models/refinenet.py:111-114``); the
+    heatmap covers the central 8×8 px of the patch at 8× resolution.
+
+    heat: (..., 64, 64) or (..., 64, 64, 1); keypoints: (..., 2).
+    """
+    if heat.shape[-1] == 1 and heat.ndim >= 3 and heat.shape[-2] == 64:
+        heat = heat[..., 0]
+    corners = heatmap_argmax2d(heat)
+    return (corners - 32.0) / 8.0 + keypoints

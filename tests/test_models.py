@@ -1,0 +1,70 @@
+"""Model shape/structure tests (canonical sizes from the reference __main__
+blocks: detector (1,1,240,320), refinenet (1,1,24,24))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepcharuco_tpu.models import Detector, RefineNet
+
+
+def test_detector_shapes():
+    model = Detector(n_ids=16, dtype=jnp.float32)
+    x = jnp.zeros((2, 240, 320, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out["loc"].shape == (2, 30, 40, 65)
+    assert out["ids"].shape == (2, 30, 40, 17)
+    assert out["loc"].dtype == jnp.float32
+
+
+def test_detector_param_count():
+    """The encoder+heads should carry the same parameter count as the torch
+    model (torchinfo summary of dcModel(n_ids=16) counts conv+bn params)."""
+    model = Detector(n_ids=16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 240, 320, 1)))
+    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
+
+    def conv_p(cin, cout, k):
+        return cin * cout * k * k + cout
+
+    def bn_p(c):
+        return 2 * c
+
+    expected = (
+        conv_p(1, 64, 3) + bn_p(64) + conv_p(64, 64, 3) + bn_p(64)
+        + conv_p(64, 64, 3) + bn_p(64) + conv_p(64, 64, 3) + bn_p(64)
+        + conv_p(64, 128, 3) + bn_p(128) + conv_p(128, 128, 3) + bn_p(128)
+        + conv_p(128, 128, 3) + bn_p(128) + conv_p(128, 128, 3) + bn_p(128)
+        + conv_p(128, 256, 3) + bn_p(256) + conv_p(256, 65, 1)
+        + conv_p(128, 256, 3) + bn_p(256) + conv_p(256, 17, 1)
+    )
+    assert n_params == expected
+
+
+def test_refinenet_shapes():
+    model = RefineNet(dtype=jnp.float32)
+    x = jnp.zeros((3, 24, 24, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (3, 64, 64, 1)
+
+
+def test_detector_train_mode_updates_batch_stats():
+    model = Detector(n_ids=16, dtype=jnp.float32)
+    x = jnp.ones((2, 48, 48, 1), jnp.float32) * 0.3
+    variables = model.init(jax.random.PRNGKey(0), x)
+    _, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    before = variables["batch_stats"]["conv1a"]["bn"]["mean"]
+    after = mutated["batch_stats"]["conv1a"]["bn"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_refinenet_fully_convolutional_spatial_map():
+    """VALID convs shrink 24→16 before the pool; check an alternate input size
+    keeps the 24→64 (8/3×) relation implied by the architecture."""
+    model = RefineNet(dtype=jnp.float32)
+    x = jnp.zeros((1, 24, 24, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape[1:3] == (64, 64)
