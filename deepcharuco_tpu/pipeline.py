@@ -1,0 +1,163 @@
+"""The fused inference program: frames → corners → sub-pixel → pose, one jit.
+
+The reference's production path (``src/inference.py:32-70``) crosses
+host↔device twice per frame and finishes with per-frame CPU PnP
+(``src/pose_estimation.py:58-66``). Here the *entire* span — grayscale
+normalize, detector, fixed-capacity decode, 24×24 patch gather, RefineNet,
+sub-pixel refine, and batched planar PnP — is a single XLA program over a
+batch of frames. The only transfers are uint8 frames in and small pose/corner
+arrays out.
+
+Functional core + a thin convenience class:
+
+- :func:`two_stage_forward` — frames → (keypoints, valid, refined)
+- :func:`full_forward` — + (ok, rvec, tvec, reproj_rms)
+- :class:`InferencePipeline` — holds params/config, jits once, numpy I/O
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepcharuco_tpu.board import inner_corner_object_points
+from deepcharuco_tpu.configs import Config
+from deepcharuco_tpu.models import Detector, RefineNet
+from deepcharuco_tpu.ops import (
+    extract_patches,
+    normalize_gray,
+    pred_to_keypoints,
+    preprocess_bgr,
+    refine_keypoints,
+)
+from deepcharuco_tpu.pnp import solve_pnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Intrinsics (cv2 conventions; dist = [k1, k2, p1, p2, k3])."""
+
+    K: np.ndarray
+    dist: np.ndarray
+
+    @classmethod
+    def from_npz(cls, path: str) -> "Camera":
+        """Load the reference's ``camera_params.npz`` format
+        (``src/pose_estimation.py:35-37``)."""
+        data = np.load(path)
+        return cls(
+            K=np.asarray(data["camera_matrix"], np.float32),
+            dist=np.asarray(data["distortion_coeffs"], np.float32).ravel()[:5],
+        )
+
+
+def _to_gray_input(frames: jnp.ndarray) -> jnp.ndarray:
+    """Accept BGR uint8 (N,H,W,3), gray (N,H,W) or (N,H,W,1); return
+    normalized NHWC float32."""
+    if frames.ndim == 4 and frames.shape[-1] == 3:
+        return preprocess_bgr(frames)
+    if frames.ndim == 4 and frames.shape[-1] == 1:
+        return normalize_gray(frames[..., 0])
+    return normalize_gray(frames)
+
+
+def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
+                      det_vars, rn_vars, frames, n_ids: int):
+    """Detector → decode → patch gather → RefineNet → sub-pixel corners.
+
+    Returns (keypoints, valid, refined): (N, n_ids, 2), (N, n_ids) bool,
+    (N, n_ids, 2). With no refinenet, ``refined`` is the raw keypoints
+    (reference behavior when ``refinenet is None``, ``inference.py:53-57``).
+    """
+    g = _to_gray_input(frames)
+    out = detector.apply(det_vars, g)
+    keypoints, valid = pred_to_keypoints(out["loc"], out["ids"], n_ids)
+    if refinenet is None:
+        return keypoints, valid, keypoints
+    patches = extract_patches(g, keypoints)
+    n, k, p, _ = patches.shape
+    heat = refinenet.apply(rn_vars, patches.reshape(n * k, p, p, 1))
+    refined = refine_keypoints(heat.reshape(n, k, 64, 64), keypoints)
+    return keypoints, valid, refined
+
+
+def full_forward(detector: Detector, refinenet: Optional[RefineNet],
+                 det_vars, rn_vars, frames, n_ids: int,
+                 object_points, K, dist, pnp_iters: int = 20):
+    """:func:`two_stage_forward` + batched planar PnP, all in one program."""
+    keypoints, valid, refined = two_stage_forward(
+        detector, refinenet, det_vars, rn_vars, frames, n_ids
+    )
+    solve = lambda ip, v: solve_pnp(object_points, ip, v, K, dist, iters=pnp_iters)
+    ok, rvec, tvec, rms = jax.vmap(solve)(refined, valid)
+    return keypoints, valid, refined, ok, rvec, tvec, rms
+
+
+class InferencePipeline:
+    """Convenience wrapper: jits the fused program once, numpy in/out.
+
+    Functional analogue of the reference's ``load_models`` + ``infer_image``
+    + ``solve_pnp`` triple (``src/inference.py:15-84``), minus the host
+    round-trips.
+    """
+
+    def __init__(self, config: Config, det_vars, rn_vars=None,
+                 camera: Optional[Camera] = None,
+                 compute_dtype=jnp.bfloat16, pnp_iters: int = 20):
+        self.config = config
+        self.n_ids = config.n_ids
+        self.detector = Detector(n_ids=config.n_ids, dtype=compute_dtype)
+        self.refinenet = RefineNet(dtype=compute_dtype) if rn_vars is not None else None
+        self.det_vars = jax.device_put(det_vars)
+        self.rn_vars = jax.device_put(rn_vars) if rn_vars is not None else None
+        self.camera = camera
+        self.object_points = jnp.asarray(
+            inner_corner_object_points(config.row_count, config.col_count,
+                                       config.square_len)
+        )
+
+        self._two_stage = jax.jit(
+            lambda dv, rv, x: two_stage_forward(
+                self.detector, self.refinenet, dv, rv, x, self.n_ids
+            )
+        )
+        if camera is not None:
+            K = jnp.asarray(camera.K, jnp.float32)
+            dist = jnp.asarray(camera.dist, jnp.float32)
+            self._full = jax.jit(
+                lambda dv, rv, x: full_forward(
+                    self.detector, self.refinenet, dv, rv, x, self.n_ids,
+                    self.object_points, K, dist, pnp_iters
+                )
+            )
+        else:
+            self._full = None
+
+    # ---------------- numpy-facing API ----------------
+
+    def detect(self, frames: np.ndarray):
+        """frames: (N,H,W,3) BGR uint8 / (N,H,W) gray →
+        (keypoints, valid, refined) numpy arrays."""
+        kp, valid, refined = self._two_stage(self.det_vars, self.rn_vars,
+                                             jnp.asarray(frames))
+        return np.asarray(kp), np.asarray(valid), np.asarray(refined)
+
+    def detect_with_pose(self, frames: np.ndarray):
+        """→ (keypoints, valid, refined, ok, rvec, tvec, reproj_rms)."""
+        if self._full is None:
+            raise ValueError("InferencePipeline was built without a Camera")
+        out = self._full(self.det_vars, self.rn_vars, jnp.asarray(frames))
+        return tuple(np.asarray(o) for o in out)
+
+    def keypoint_array(self, refined: np.ndarray, valid: np.ndarray):
+        """One frame's (n_ids, 2) + mask → the reference's (M, 3) float
+        ``[x, y, id]`` rows sorted by id (``inference.py:68-69``)."""
+        ids = np.nonzero(valid)[0]
+        return np.concatenate(
+            [refined[ids], ids[:, None].astype(refined.dtype)], axis=1
+        )

@@ -1,0 +1,163 @@
+"""Optax training steps for the detector and RefineNet.
+
+Loss parity with the reference Lightning wrappers:
+- Detector: ``cross_entropy(loc_hat, loc) + cross_entropy(ids_hat, ids)`` over
+  class-index label maps, Adam lr=5e-3 (``src/models/net.py:148-161``).
+- RefineNet: MSE on the 64×64 heatmap, Adam lr=1e-4
+  (``src/models/refinenet.py:163-179``).
+
+TPU-first: steps are pure functions of a :class:`TrainState` pytree, so the
+same jitted step runs single-chip or under a ``jax.sharding.Mesh`` with the
+batch sharded over ``('data', 'spatial')`` axes — XLA inserts the gradient
+all-reduces and BatchNorm's cross-shard statistics automatically from the
+sharding annotations (no hand-written collectives at this model scale; see
+``deepcharuco_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from deepcharuco_tpu.models import Detector, RefineNet
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+# ---------------------------------------------------------------------------
+# State creation
+# ---------------------------------------------------------------------------
+
+def create_detector_state(det: Detector, rng, input_hw=(240, 320),
+                          tx: Optional[optax.GradientTransformation] = None):
+    variables = det.init(rng, jnp.zeros((1, *input_hw, 1), jnp.float32))
+    tx = tx if tx is not None else optax.adam(5e-3)
+    return tx, TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+    )
+
+
+def create_refinenet_state(rn: RefineNet, rng,
+                           tx: Optional[optax.GradientTransformation] = None):
+    variables = rn.init(rng, jnp.zeros((1, 24, 24, 1), jnp.float32))
+    tx = tx if tx is not None else optax.adam(1e-4)
+    return tx, TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+def detector_loss_fn(det: Detector, params, batch_stats, images, loc_labels,
+                     ids_labels, train: bool = True):
+    """CE(loc) + CE(ids); labels are (N, Hc, Wc) int maps (ref net.py:148-153,
+    label construction data.py:14-51). Returns (loss, (aux, new_batch_stats))."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        out, mutated = det.apply(variables, images, train=True,
+                                 mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
+    else:
+        out = det.apply(variables, images)
+        new_stats = batch_stats
+    loss_loc = optax.softmax_cross_entropy_with_integer_labels(
+        out["loc"], loc_labels
+    ).mean()
+    loss_ids = optax.softmax_cross_entropy_with_integer_labels(
+        out["ids"], ids_labels
+    ).mean()
+    loss = loss_loc + loss_ids
+    aux = {"loss": loss, "loss_loc": loss_loc, "loss_ids": loss_ids}
+    return loss, (aux, new_stats, out)
+
+
+def refinenet_loss_fn(rn: RefineNet, params, batch_stats, patches, heatmaps,
+                      train: bool = True):
+    """MSE on heatmaps; patches (N,24,24,1), heatmaps (N,64,64,1)
+    (ref refinenet.py:163-175)."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        heat, mutated = rn.apply(variables, patches, train=True,
+                                 mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
+    else:
+        heat = rn.apply(variables, patches)
+        new_stats = batch_stats
+    loss = jnp.mean((heat - heatmaps) ** 2)
+    aux = {"loss": loss}
+    return loss, (aux, new_stats, heat)
+
+
+# ---------------------------------------------------------------------------
+# Steps
+# ---------------------------------------------------------------------------
+
+def make_detector_train_step(det: Detector,
+                             tx: optax.GradientTransformation) -> Callable:
+    def step(state: TrainState, images, loc_labels, ids_labels):
+        (loss, (aux, new_stats, _)), grads = jax.value_and_grad(
+            lambda p: detector_loss_fn(det, p, state.batch_stats, images,
+                                       loc_labels, ids_labels),
+            has_aux=True,
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          batch_stats=new_stats, opt_state=opt_state), aux
+
+    return step
+
+
+def make_refinenet_train_step(rn: RefineNet,
+                              tx: optax.GradientTransformation) -> Callable:
+    def step(state: TrainState, patches, heatmaps):
+        (loss, (aux, new_stats, _)), grads = jax.value_and_grad(
+            lambda p: refinenet_loss_fn(rn, p, state.batch_stats, patches,
+                                        heatmaps),
+            has_aux=True,
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          batch_stats=new_stats, opt_state=opt_state), aux
+
+    return step
+
+
+def make_detector_eval_step(det: Detector) -> Callable:
+    def step(state: TrainState, images, loc_labels, ids_labels):
+        _, (aux, _, out) = detector_loss_fn(det, state.params,
+                                            state.batch_stats, images,
+                                            loc_labels, ids_labels,
+                                            train=False)
+        return aux, out
+
+    return step
+
+
+def make_refinenet_eval_step(rn: RefineNet) -> Callable:
+    def step(state: TrainState, patches, heatmaps):
+        _, (aux, _, heat) = refinenet_loss_fn(rn, state.params,
+                                              state.batch_stats, patches,
+                                              heatmaps, train=False)
+        return aux, heat
+
+    return step

@@ -1,0 +1,99 @@
+"""End-to-end pipeline tests on synthetic data: a rendered board warped into
+a frame with a known pose; the fused program must localize corners near the
+projected positions once fed a detector that 'cheats' via labels, and the
+full program must recover the pose."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from deepcharuco_tpu.configs import default_config
+from deepcharuco_tpu.pipeline import Camera, InferencePipeline, full_forward, two_stage_forward
+from deepcharuco_tpu.models import Detector, RefineNet
+from deepcharuco_tpu.board import inner_corner_object_points
+from deepcharuco_tpu.pnp import solve_pnp
+
+cv2 = pytest.importorskip("cv2")
+
+CFG = default_config()
+K = np.array([[400.0, 0, 160.0], [0, 400.0, 120.0], [0, 0, 1.0]], np.float32)
+DIST = np.zeros(5, np.float32)
+
+
+def _variables():
+    det = Detector(n_ids=CFG.n_ids, dtype=jnp.float32)
+    rn = RefineNet(dtype=jnp.float32)
+    dv = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 240, 320, 1)))
+    rv = rn.init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 1)))
+    return det, rn, dv, rv
+
+
+def test_pipeline_shapes_and_jit():
+    det, rn, dv, rv = _variables()
+    frames = jnp.zeros((2, 240, 320, 3), jnp.uint8)
+    kp, valid, refined = jax.jit(
+        lambda dv, rv, x: two_stage_forward(det, rn, dv, rv, x, CFG.n_ids)
+    )(dv, rv, frames)
+    assert kp.shape == (2, 16, 2)
+    assert valid.shape == (2, 16)
+    assert refined.shape == (2, 16, 2)
+
+
+def test_pipeline_without_refinenet():
+    det, _, dv, _ = _variables()
+    frames = jnp.zeros((1, 240, 320, 3), jnp.uint8)
+    kp, valid, refined = two_stage_forward(det, None, dv, None, frames, CFG.n_ids)
+    np.testing.assert_array_equal(np.asarray(kp), np.asarray(refined))
+
+
+def test_full_forward_pose_outputs():
+    det, rn, dv, rv = _variables()
+    frames = jnp.zeros((2, 240, 320, 3), jnp.uint8)
+    obj = jnp.asarray(inner_corner_object_points(5, 5, 0.01))
+    out = jax.jit(
+        lambda dv, rv, x: full_forward(det, rn, dv, rv, x, CFG.n_ids, obj,
+                                       jnp.asarray(K), jnp.asarray(DIST))
+    )(dv, rv, frames)
+    kp, valid, refined, ok, rvec, tvec, rms = out
+    assert ok.shape == (2,)
+    assert rvec.shape == (2, 3) and tvec.shape == (2, 3)
+
+
+def test_pnp_on_ground_truth_corner_projections():
+    """Bypass the (untrained) nets: feed ground-truth projected corners to the
+    same masked PnP the pipeline uses and recover the exact warp pose."""
+    rvec = np.array([0.3, -0.2, 0.1], np.float32)
+    tvec = np.array([0.01, -0.005, 0.3], np.float32)
+    obj = inner_corner_object_points(5, 5, 0.01)
+    img, _ = cv2.projectPoints(obj, rvec, tvec, K, DIST)
+    ok, r, t, rms = solve_pnp(jnp.asarray(obj), jnp.asarray(img.squeeze(1)),
+                              jnp.asarray(np.ones(16, bool)), jnp.asarray(K),
+                              jnp.asarray(DIST))
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(r), rvec, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(t), tvec, atol=1e-4)
+
+
+def test_inference_pipeline_class():
+    _, _, dv, rv = _variables()
+    pipe = InferencePipeline(CFG, dv, rv, camera=Camera(K=K, dist=DIST),
+                             compute_dtype=jnp.float32)
+    frames = np.zeros((1, 240, 320, 3), np.uint8)
+    kp, valid, refined = pipe.detect(frames)
+    assert kp.shape == (1, 16, 2)
+    out = pipe.detect_with_pose(frames)
+    assert len(out) == 7
+
+    # keypoint_array mirrors the reference's sorted (x, y, id) output
+    arr = pipe.keypoint_array(refined[0], valid[0])
+    assert arr.ndim == 2 and arr.shape[1] == 3
+    assert np.all(np.diff(arr[:, 2]) > 0)  # sorted by id
+
+
+def test_inference_pipeline_gray_input():
+    _, _, dv, rv = _variables()
+    pipe = InferencePipeline(CFG, dv, rv, compute_dtype=jnp.float32)
+    frames = np.zeros((1, 240, 320), np.uint8)
+    kp, valid, refined = pipe.detect(frames)
+    assert kp.shape == (1, 16, 2)

@@ -1,0 +1,166 @@
+"""PnP solver tests: projection model vs cv2, full solve vs cv2.solvePnP
+(the reference pose tail, src/inference.py:15-29) across pose ranges."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from deepcharuco_tpu.board import inner_corner_object_points
+from deepcharuco_tpu.pnp import (
+    rodrigues,
+    rodrigues_inverse,
+    project_points,
+    undistort_normalize,
+    solve_pnp,
+    solve_pnp_batch,
+)
+
+cv2 = pytest.importorskip("cv2")
+
+K = np.array([[420.0, 0.0, 160.0], [0.0, 420.0, 120.0], [0.0, 0.0, 1.0]], np.float32)
+DIST = np.array([0.05, -0.02, 0.001, -0.0015, 0.01], np.float32)
+OBJ = inner_corner_object_points(5, 5, 0.01)  # (16, 3)
+
+
+def _random_pose(rng, max_angle=1.2):
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    rvec = (axis * rng.uniform(0.1, max_angle)).astype(np.float32)
+    tvec = np.array([
+        rng.uniform(-0.03, 0.03),
+        rng.uniform(-0.03, 0.03),
+        rng.uniform(0.15, 0.5),
+    ], np.float32)
+    return rvec, tvec
+
+
+def test_rodrigues_vs_cv2(rng):
+    for _ in range(20):
+        rvec, _ = _random_pose(rng, max_angle=3.0)
+        R_cv, _ = cv2.Rodrigues(rvec)
+        R = np.asarray(rodrigues(jnp.asarray(rvec)))
+        np.testing.assert_allclose(R, R_cv, atol=1e-5)
+        # inverse round-trips
+        r_back = np.asarray(rodrigues_inverse(jnp.asarray(R)))
+        np.testing.assert_allclose(r_back, rvec, atol=1e-4)
+
+
+def test_rodrigues_small_angle():
+    r = np.array([1e-9, -2e-9, 1e-9], np.float32)
+    R = np.asarray(rodrigues(jnp.asarray(r)))
+    np.testing.assert_allclose(R, np.eye(3), atol=1e-6)
+    assert np.all(np.isfinite(np.asarray(rodrigues_inverse(jnp.asarray(R)))))
+
+
+def test_project_points_vs_cv2(rng):
+    for _ in range(10):
+        rvec, tvec = _random_pose(rng)
+        ours = np.asarray(project_points(jnp.asarray(OBJ), jnp.asarray(rvec),
+                                         jnp.asarray(tvec), jnp.asarray(K),
+                                         jnp.asarray(DIST)))
+        ref, _ = cv2.projectPoints(OBJ, rvec, tvec, K, DIST)
+        np.testing.assert_allclose(ours, ref.squeeze(1), atol=1e-3)
+
+
+def test_undistort_normalize_vs_cv2(rng):
+    pts = rng.uniform([20, 20], [300, 220], size=(30, 2)).astype(np.float32)
+    ours = np.asarray(undistort_normalize(jnp.asarray(pts), jnp.asarray(K),
+                                          jnp.asarray(DIST)))
+    ref = cv2.undistortPoints(pts.reshape(-1, 1, 2), K, DIST).squeeze(1)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_solve_pnp_recovers_exact_pose(rng):
+    """Noise-free projections: recover the pose to high precision."""
+    for _ in range(8):
+        rvec, tvec = _random_pose(rng)
+        img, _ = cv2.projectPoints(OBJ, rvec, tvec, K, DIST)
+        img = img.squeeze(1)
+        valid = np.ones(16, bool)
+        ok, r, t, err = solve_pnp(jnp.asarray(OBJ), jnp.asarray(img),
+                                  jnp.asarray(valid), jnp.asarray(K),
+                                  jnp.asarray(DIST))
+        assert bool(ok)
+        assert float(err) < 1e-2
+        np.testing.assert_allclose(np.asarray(r), rvec, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(t), tvec, atol=2e-4)
+
+
+def _rms(r, t, img):
+    p = np.asarray(project_points(jnp.asarray(OBJ), jnp.asarray(np.float32(r)),
+                                  jnp.asarray(np.float32(t)), jnp.asarray(K),
+                                  jnp.asarray(DIST)))
+    return float(np.sqrt(((p - img) ** 2).sum(1).mean()))
+
+
+def test_solve_pnp_vs_cv2_noisy(rng):
+    """0.5px noise: match cv2.solvePnP, except when cv2 lands in the worse
+    basin of the planar two-fold ambiguity — then our reprojection error must
+    be at most cv2's (we refine from both ambiguous inits)."""
+    for _ in range(8):
+        rvec, tvec = _random_pose(rng)
+        img, _ = cv2.projectPoints(OBJ, rvec, tvec, K, DIST)
+        img = img.squeeze(1) + rng.normal(scale=0.5, size=(16, 2))
+        img = img.astype(np.float32)
+        valid = np.ones(16, bool)
+
+        ok, r, t, err = solve_pnp(jnp.asarray(OBJ), jnp.asarray(img),
+                                  jnp.asarray(valid), jnp.asarray(K),
+                                  jnp.asarray(DIST), iters=30)
+        ret, r_cv, t_cv = cv2.solvePnP(OBJ, img, K, DIST)
+        assert bool(ok) and ret
+        same_pose = np.allclose(np.asarray(r), r_cv.ravel(), atol=2e-3) and \
+            np.allclose(np.asarray(t), t_cv.ravel(), atol=2e-4)
+        if not same_pose:
+            # we must be at least as good as cv2's minimum
+            assert _rms(np.asarray(r), np.asarray(t), img) <= \
+                _rms(r_cv.ravel(), t_cv.ravel(), img) + 1e-4
+
+
+def test_solve_pnp_masked_subset(rng):
+    """Only 6 of 16 corners detected — solver must use exactly those."""
+    rvec, tvec = _random_pose(rng)
+    img, _ = cv2.projectPoints(OBJ, rvec, tvec, K, DIST)
+    img = img.squeeze(1).astype(np.float32)
+    valid = np.zeros(16, bool)
+    keep = [0, 3, 5, 8, 12, 15]
+    valid[keep] = True
+    img_garbage = img.copy()
+    img_garbage[~valid] = -1e3  # invalid slots carry garbage
+
+    ok, r, t, err = solve_pnp(jnp.asarray(OBJ), jnp.asarray(img_garbage),
+                              jnp.asarray(valid), jnp.asarray(K),
+                              jnp.asarray(DIST))
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(r), rvec, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(t), tvec, atol=5e-4)
+
+
+def test_solve_pnp_too_few_points():
+    """Reference gate: <4 points → failure (src/inference.py:16-17)."""
+    img = np.zeros((16, 2), np.float32)
+    valid = np.zeros(16, bool)
+    valid[[0, 1, 2]] = True
+    ok, r, t, err = solve_pnp(jnp.asarray(OBJ), jnp.asarray(img),
+                              jnp.asarray(valid), jnp.asarray(K),
+                              jnp.asarray(DIST))
+    assert not bool(ok)
+    np.testing.assert_array_equal(np.asarray(r), 0)
+    np.testing.assert_array_equal(np.asarray(t), 0)
+
+
+def test_solve_pnp_batch(rng):
+    poses = [_random_pose(rng) for _ in range(4)]
+    imgs, valids = [], []
+    for rvec, tvec in poses:
+        img, _ = cv2.projectPoints(OBJ, rvec, tvec, K, DIST)
+        imgs.append(img.squeeze(1))
+        valids.append(np.ones(16, bool))
+    ok, r, t, err = solve_pnp_batch(jnp.asarray(OBJ), jnp.asarray(np.stack(imgs)),
+                                    jnp.asarray(np.stack(valids)),
+                                    jnp.asarray(K), jnp.asarray(DIST))
+    assert ok.shape == (4,) and r.shape == (4, 3)
+    for i, (rvec, tvec) in enumerate(poses):
+        assert bool(ok[i])
+        np.testing.assert_allclose(np.asarray(r)[i], rvec, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(t)[i], tvec, atol=2e-4)

@@ -1,0 +1,117 @@
+"""Training step tests: loss parity with torch CE/MSE semantics, gradient
+descent sanity, and the sharded multi-chip path on the virtual 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from deepcharuco_tpu.models import Detector, RefineNet
+from deepcharuco_tpu.train import (
+    create_detector_state,
+    create_refinenet_state,
+    detector_loss_fn,
+    make_detector_train_step,
+    make_refinenet_train_step,
+)
+from deepcharuco_tpu.parallel import make_mesh, replicate, shard_batch, sharded_train_step
+
+HW = (48, 64)  # small for test speed
+HC, WC = HW[0] // 8, HW[1] // 8
+
+
+def _batch(rng, n=4):
+    images = rng.normal(size=(n, *HW, 1)).astype(np.float32)
+    loc = rng.integers(0, 65, size=(n, HC, WC))
+    ids = rng.integers(0, 17, size=(n, HC, WC))
+    return jnp.asarray(images), jnp.asarray(loc), jnp.asarray(ids)
+
+
+def test_detector_loss_matches_torch_cross_entropy(rng):
+    import torch
+    import torch.nn.functional as F
+
+    det = Detector(n_ids=16, dtype=jnp.float32)
+    tx, state = create_detector_state(det, jax.random.PRNGKey(0), input_hw=HW)
+    images, loc, ids = _batch(rng)
+    loss, (aux, _, out) = detector_loss_fn(det, state.params, state.batch_stats,
+                                           images, loc, ids, train=False)
+    # torch CE over NCHW logits with class-index target (ref net.py:152-153)
+    loc_t = torch.from_numpy(np.asarray(out["loc"]).transpose(0, 3, 1, 2))
+    ids_t = torch.from_numpy(np.asarray(out["ids"]).transpose(0, 3, 1, 2))
+    ref_loc = F.cross_entropy(loc_t, torch.from_numpy(np.asarray(loc)).long())
+    ref_ids = F.cross_entropy(ids_t, torch.from_numpy(np.asarray(ids)).long())
+    np.testing.assert_allclose(float(aux["loss_loc"]), float(ref_loc), rtol=1e-5)
+    np.testing.assert_allclose(float(aux["loss_ids"]), float(ref_ids), rtol=1e-5)
+
+
+def test_detector_train_step_reduces_loss(rng):
+    det = Detector(n_ids=16, dtype=jnp.float32)
+    tx, state = create_detector_state(det, jax.random.PRNGKey(0), input_hw=HW)
+    step = jax.jit(make_detector_train_step(det, tx))
+    images, loc, ids = _batch(rng, n=2)
+    losses = []
+    for _ in range(12):
+        state, aux = step(state, images, loc, ids)
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses
+    assert int(state.step) == 12
+
+
+def test_refinenet_train_step_reduces_loss(rng):
+    rn = RefineNet(dtype=jnp.float32)
+    tx, state = create_refinenet_state(rn, jax.random.PRNGKey(0),
+                                       tx=optax.adam(1e-3))
+    step = jax.jit(make_refinenet_train_step(rn, tx))
+    patches = jnp.asarray(rng.normal(size=(4, 24, 24, 1)).astype(np.float32))
+    heat = jnp.asarray(rng.uniform(0, 1, size=(4, 64, 64, 1)).astype(np.float32))
+    losses = []
+    for _ in range(10):
+        state, aux = step(state, patches, heat)
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_sharded_detector_train_step_8_devices(rng):
+    """DP×SP mesh (4×2) over the virtual CPU devices: one real sharded step,
+    numerically equal to the single-device step."""
+    assert len(jax.devices()) == 8
+    det = Detector(n_ids=16, dtype=jnp.float32)
+    # SGD for the equality check: Adam's first step is ~sign(grad), which
+    # amplifies float reduction-order noise into full-lr differences.
+    tx, state = create_detector_state(det, jax.random.PRNGKey(0), input_hw=HW,
+                                      tx=optax.sgd(0.1))
+    images, loc, ids = _batch(rng, n=8)
+
+    # single-device result
+    ref_state, ref_aux = jax.jit(make_detector_train_step(det, tx))(
+        state, images, loc, ids
+    )
+
+    mesh = make_mesh(n_data=4, n_spatial=2)
+    with mesh:
+        sstate = replicate(mesh, state)
+        batch = shard_batch(mesh, (images, loc, ids))
+        step = sharded_train_step(make_detector_train_step(det, tx), mesh)
+        new_state, aux = step(sstate, *batch)
+
+    np.testing.assert_allclose(float(aux["loss"]), float(ref_aux["loss"]), rtol=1e-5)
+    # parameters identical to the single-device step
+    flat_ref = jax.tree.leaves(ref_state.params)
+    flat_new = jax.tree.leaves(new_state.params)
+    for a, b in zip(flat_ref, flat_new):
+        # float reduction-order noise across shardings; 1e-4 ≪ the 0.1 lr step
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_sharded_step_data_parallel_only(rng):
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    det = Detector(n_ids=16, dtype=jnp.float32)
+    tx, state = create_detector_state(det, jax.random.PRNGKey(0), input_hw=HW)
+    images, loc, ids = _batch(rng, n=8)
+    with mesh:
+        sstate = replicate(mesh, state)
+        batch = shard_batch(mesh, (images, loc, ids))
+        step = sharded_train_step(make_detector_train_step(det, tx), mesh)
+        new_state, aux = step(sstate, *batch)
+    assert np.isfinite(float(aux["loss"]))
