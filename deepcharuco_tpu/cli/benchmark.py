@@ -1,0 +1,125 @@
+"""Benchmark CLI — parameterized version of the repo-root ``bench.py``.
+
+Reference protocol (``src/benchmark.py:36-53``): warmup then timed
+full-pipeline iterations, print FPS. Extensions: batch size, input format
+(gray/bgr), optional pose solve included, per-stage timing breakdown.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="DeepCharuco TPU benchmark")
+    p.add_argument("--config", default=None)
+    p.add_argument("--deepc", default=None)
+    p.add_argument("--refinenet", default=None)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--iters", type=int, default=40)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--input", choices=["gray", "bgr"], default="gray")
+    p.add_argument("--with-pose", action="store_true",
+                   help="include the batched PnP solve in the program")
+    p.add_argument("--image", default=None, help="benchmark frame (else board render)")
+    p.add_argument("--breakdown", action="store_true",
+                   help="also time detector-only and two-stage separately")
+    return p
+
+
+def _frame(cfg, args):
+    import numpy as np
+
+    if args.image:
+        import cv2
+
+        img = cv2.imread(args.image)
+        img = cv2.resize(img, cfg.input_size)
+        return img
+    from deepcharuco_tpu import board as B
+
+    brd = B.get_board(cfg)
+    mins = min(cfg.input_size)
+    bimg, _ = B.board_image(brd, (mins, mins), cfg.row_count, cfg.col_count)
+    h, w = cfg.input_hw
+    frame = np.full((h, w, 3), 90, np.uint8)
+    x0 = (w - mins) // 2
+    frame[:mins, x0:x0 + mins] = bimg
+    return frame
+
+
+def _time_fn(fn, args_tuple, iters, warmup):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args_tuple)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = [fn(*args_tuple) for _ in range(iters)]
+    jax.block_until_ready(outs)
+    return time.perf_counter() - t0
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepcharuco_tpu.configs import default_config, load_configuration
+    from deepcharuco_tpu.pipeline import (
+        Camera,
+        full_forward,
+        load_model_variables,
+        two_stage_forward,
+    )
+    from deepcharuco_tpu.models import Detector, RefineNet
+    from deepcharuco_tpu.board import inner_corner_object_points
+
+    cfg = load_configuration(args.config) if args.config else default_config()
+    det = Detector(n_ids=cfg.n_ids)
+    rn = RefineNet()
+    dv = jax.device_put(load_model_variables(args.deepc, "detector", cfg.n_ids))
+    rv = jax.device_put(load_model_variables(args.refinenet, "refinenet"))
+
+    frame = _frame(cfg, args)
+    if args.input == "gray":
+        import cv2
+
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+    frames = np.broadcast_to(frame, (args.batch, *frame.shape)).copy()
+    x = jnp.asarray(frames)
+
+    if args.with_pose:
+        obj = jnp.asarray(inner_corner_object_points(cfg.row_count, cfg.col_count,
+                                                     cfg.square_len))
+        h, w = cfg.input_hw
+        K = jnp.asarray(np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], np.float32))
+        dist = jnp.zeros(5, jnp.float32)
+        fn = jax.jit(lambda dv, rv, x: full_forward(det, rn, dv, rv, x, cfg.n_ids,
+                                                    obj, K, dist))
+    else:
+        fn = jax.jit(lambda dv, rv, x: two_stage_forward(det, rn, dv, rv, x, cfg.n_ids))
+
+    dt = _time_fn(fn, (dv, rv, x), args.iters, args.warmup)
+    fps = args.batch * args.iters / dt
+    label = "full+pose" if args.with_pose else "two-stage"
+    print(f"{label}: {fps:.1f} fps  ({dt / args.iters * 1000:.2f} ms / batch of {args.batch})")
+
+    if args.breakdown:
+        det_only = jax.jit(lambda dv, x: det.apply(
+            dv, x[..., None].astype(jnp.float32) if x.ndim == 3 else x))
+        from deepcharuco_tpu.ops import normalize_gray
+
+        det_fn = jax.jit(lambda dv, x: det.apply(dv, normalize_gray(x)))
+        dt_d = _time_fn(det_fn, (dv, x), args.iters, args.warmup)
+        print(f"detector-only: {args.batch * args.iters / dt_d:.1f} fps")
+        two = jax.jit(lambda dv, rv, x: two_stage_forward(det, rn, dv, rv, x, cfg.n_ids))
+        dt_2 = _time_fn(two, (dv, rv, x), args.iters, args.warmup)
+        print(f"two-stage: {args.batch * args.iters / dt_2:.1f} fps")
+
+
+if __name__ == "__main__":
+    main()

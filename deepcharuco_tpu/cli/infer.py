@@ -1,0 +1,79 @@
+"""Inference CLI — image(s) → detected corners (+ optional drawn output).
+
+Replaces the reference's ``src/inference.py`` ``__main__`` demo: runs the
+fused pipeline on images, prints the reference-format ``(x, y, id)`` keypoint
+rows, optionally draws raw (red) and refined (yellow) corners like
+``infer_image(draw_pred=True)`` (``inference.py:45-66``) and renders the
+classical cv2.aruco side-by-side baseline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="DeepCharuco TPU inference")
+    p.add_argument("images", nargs="+", help="image files or globs")
+    p.add_argument("--config", default=None)
+    p.add_argument("--deepc", default=None, help="detector ckpt (.ckpt or orbax dir)")
+    p.add_argument("--refinenet", default=None, help="refinenet ckpt")
+    p.add_argument("--out-dir", default=None, help="write annotated images here")
+    p.add_argument("--cv2-baseline", action="store_true",
+                   help="append classical cv2.aruco detection side-by-side")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    import cv2
+    import numpy as np
+
+    from deepcharuco_tpu import board as B
+    from deepcharuco_tpu.configs import default_config, load_configuration
+    from deepcharuco_tpu.pipeline import load_pipeline
+
+    cfg = load_configuration(args.config) if args.config else default_config()
+    pipe = load_pipeline(cfg, args.deepc, args.refinenet)
+    if args.deepc is None:
+        print("WARNING: random detector weights (no --deepc given)")
+
+    paths = []
+    for pattern in args.images:
+        paths.extend(sorted(glob.glob(pattern)) or [pattern])
+
+    if args.cv2_baseline:
+        dictionary = B.get_aruco_dict(cfg.board_name)
+        brd = B.get_board(cfg)
+        params = B.create_detector_parameters()
+
+    for path in paths:
+        img = cv2.imread(path)
+        if img is None:
+            print(f"skipping unreadable {path}")
+            continue
+        kp, valid, refined = pipe.detect(img[None])
+        arr = pipe.keypoint_array(refined[0], valid[0])
+        print(f"{path}: {int(valid[0].sum())} corners")
+        print(arr)
+
+        if args.out_dir:
+            os.makedirs(args.out_dir, exist_ok=True)
+            vis = B.draw_keypoints_with_validity(img, kp[0], valid[0],
+                                                 draw_ids=True, radius=3,
+                                                 color=(0, 0, 255))
+            vis = B.draw_keypoints_with_validity(vis, refined[0], valid[0],
+                                                 radius=1, color=(0, 255, 255))
+            if args.cv2_baseline:
+                base, _, _ = B.cv2_aruco_detect(img.copy(), dictionary, brd, params)
+                vis = np.hstack([vis, base])
+            out = os.path.join(args.out_dir, os.path.basename(path))
+            cv2.imwrite(out, vis)
+            print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

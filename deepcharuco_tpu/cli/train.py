@@ -1,0 +1,190 @@
+"""Detector training CLI — TPU-native replacement for reference ``src/train.py``.
+
+Differences from the reference (by design):
+- config path / logdir / steps are flags, not hardcoded (``configs.py:9``);
+- step-based loop with periodic eval instead of Lightning epochs;
+- host synthesis threads + double-buffered device feed instead of torch
+  DataLoader workers (``train.py:27-32``);
+- optional data-parallel mesh (``--data-parallel``) — the reference has none;
+- orbax top-k checkpoints on ``val_loss`` (parity with
+  ``ModelCheckpoint(save_top_k=10, monitor='val_loss')``, ``train.py:38-39``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="Train the DeepCharuco detector on TPU")
+    p.add_argument("--config", default=None, help="YAML config (reference schema)")
+    p.add_argument("--steps", type=int, default=20000)
+    p.add_argument("--eval-every", type=int, default=500)
+    p.add_argument("--eval-batches", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=None, help="override bs_train")
+    p.add_argument("--lr", type=float, default=5e-3)
+    p.add_argument("--logdir", default="tb_logs/deepcharuco")
+    p.add_argument("--ckpt-dir", default="checkpoints/deepcharuco")
+    p.add_argument("--top-k", type=int, default=10)
+    p.add_argument("--num-workers", type=int, default=None)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all local devices")
+    p.add_argument("--device-synth", action="store_true",
+                   help="generate training data ON the TPU inside the train "
+                        "jit (procedural backgrounds; host feeds only PRNG keys)")
+    p.add_argument("--resume", default=None, help="checkpoint name to resume from")
+    p.add_argument("--images", default=None, help="background image dir (else procedural)")
+    p.add_argument("--labels", default=None, help="COCO captions json")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from deepcharuco_tpu.configs import default_config, load_configuration
+    from deepcharuco_tpu.data import BatchLoader, CharucoDataset, device_prefetch
+    from deepcharuco_tpu.models import Detector
+    from deepcharuco_tpu.parallel import make_mesh, replicate, shard_batch, sharded_train_step
+    from deepcharuco_tpu.train import (
+        create_detector_state,
+        make_detector_eval_step,
+        make_detector_train_step,
+    )
+    from deepcharuco_tpu.train.checkpoints import CheckpointManager
+    from deepcharuco_tpu.train.logging import ScalarLogger
+    from deepcharuco_tpu.train.metrics import MeanAccumulator, detector_metrics
+
+    cfg = load_configuration(args.config) if args.config else default_config()
+    bs = args.batch_size or cfg.bs_train
+    workers = args.num_workers or cfg.num_workers
+
+    det = Detector(n_ids=cfg.n_ids, dtype=jnp.float32)
+    tx = optax.adam(args.lr)
+    tx, state = create_detector_state(det, jax.random.PRNGKey(0),
+                                      input_hw=cfg.input_hw, tx=tx)
+
+    ckpts = CheckpointManager(args.ckpt_dir, top_k=args.top_k)
+    if args.resume:
+        restored = ckpts.restore(args.resume)
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"])
+        print(f"resumed from {args.resume}")
+
+    step_fn = make_detector_train_step(det, tx)
+
+    device_synth = None
+    train_loader = None
+    if args.device_synth:
+        from deepcharuco_tpu.data.device_synth import DeviceSynthesizer
+
+        device_synth = DeviceSynthesizer(cfg)
+
+        def fused_step(state, key):
+            images, loc, ids = jax.vmap(device_synth._sample)(
+                jax.random.split(key, bs)
+            )
+            return step_fn(state, images, loc, ids)
+
+        fused = jax.jit(fused_step, donate_argnums=(0,))
+        val_batch_fn = device_synth.batch_fn(16)
+
+        def feed_gen():
+            key = jax.random.PRNGKey(1234)
+            while True:
+                key, sub = jax.random.split(key)
+                yield sub
+
+        feed = feed_gen()
+        val_ds = None
+        print("on-device synthesis: host feeds PRNG keys only")
+    else:
+        train_ds = CharucoDataset(cfg, labels=args.labels, images_folder=args.images)
+        val_ds = CharucoDataset(cfg, labels=args.labels, images_folder=args.images,
+                                validation=True)
+        train_loader = BatchLoader(train_ds, bs, num_workers=workers, seed=0)
+        feed = device_prefetch(train_loader, size=2)
+    eval_fn = jax.jit(make_detector_eval_step(det))
+    metrics_fn = jax.jit(
+        lambda out, loc, ids: detector_metrics(out["loc"], out["ids"], loc, ids,
+                                               cfg.n_ids)
+    )
+
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        mesh = make_mesh(n_data=len(jax.devices()), n_spatial=1)
+        state = replicate(mesh, state)
+        step = sharded_train_step(step_fn, mesh)
+        print(f"data-parallel over {len(jax.devices())} devices")
+    else:
+        step = jax.jit(step_fn, donate_argnums=(0,))
+
+    logger = ScalarLogger(args.logdir)
+    acc = MeanAccumulator()
+    t0 = time.time()
+    for i, batch in enumerate(feed):
+        if i >= args.steps:
+            break
+        if device_synth is not None:
+            state, aux = fused(state, batch)
+        else:
+            images = batch["image"]
+            loc, ids = batch["loc"], batch["ids"]
+            if mesh is not None:
+                images, loc, ids = shard_batch(mesh, (images, loc, ids))
+            state, aux = step(state, images, loc, ids)
+        acc.update(train_loss=aux["loss"], train_loss_loc=aux["loss_loc"],
+                   train_loss_ids=aux["loss_ids"])
+
+        if (i + 1) % args.eval_every == 0:
+            train_scalars = acc.compute()
+            acc.reset()
+            ev = MeanAccumulator()
+            for j in range(args.eval_batches):
+                if device_synth is not None:
+                    vi, vl, vd = val_batch_fn(jax.random.PRNGKey(777 + j))
+                else:
+                    items = [val_ds[j * 16 + k] for k in range(16)]
+                    vb = {k: np.stack([it[k] for it in items]) for k in items[0]}
+                    vi = jnp.asarray(vb["image"])
+                    vl = jnp.asarray(vb["loc"])
+                    vd = jnp.asarray(vb["ids"])
+                aux_v, out = eval_fn(state, vi, vl, vd)
+                m = metrics_fn(out, vl, vd)
+                ev.update(val_loss=aux_v["loss"], val_loss_loc=aux_v["loss_loc"],
+                          val_loss_ids=aux_v["loss_ids"],
+                          val_l2_pixels=m["l2_pixels"],
+                          val_match_ratio=m["match_ratio"],
+                          val_n_pred=m["n_pred"], val_n_target=m["n_target"])
+            val_scalars = ev.compute()
+            sps = args.eval_every / (time.time() - t0)
+            t0 = time.time()
+            logger.log(i + 1, {**train_scalars, **val_scalars,
+                               "steps_per_sec": sps})
+            print(f"step {i+1}: train_loss={train_scalars['train_loss']:.4f} "
+                  f"val_loss={val_scalars['val_loss']:.4f} "
+                  f"val_l2={val_scalars['val_l2_pixels']:.2f}px "
+                  f"match={val_scalars['val_match_ratio']:.3f} "
+                  f"pred/tgt={val_scalars['val_n_pred']:.1f}/"
+                  f"{val_scalars['val_n_target']:.1f} "
+                  f"({sps:.1f} steps/s)", flush=True)
+            save_state = state
+            if mesh is not None:
+                save_state = jax.tree.map(np.asarray, state)
+            ckpts.save(f"step_{i+1:07d}",
+                       {"params": save_state.params,
+                        "batch_stats": save_state.batch_stats},
+                       metric=val_scalars["val_loss"])
+    if train_loader is not None:
+        train_loader.stop()
+    logger.close()
+    print(f"best checkpoint: {ckpts.best_checkpoint()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""RefineNet training CLI — replacement for reference ``src/train_refinenet.py``.
+
+The reference trains with a *virtual* batch: ``bs // total`` background images
+each yielding ``total=8`` (patch, heatmap) pairs (``train_refinenet.py:14-25``);
+the Lightning step stacks and flattens them (``refinenet.py:163-171``). Here
+the dataset emits the (total, …) block per image and the step flattens — same
+effective batch, one jit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="Train RefineNet on TPU")
+    p.add_argument("--config", default=None)
+    p.add_argument("--steps", type=int, default=20000)
+    p.add_argument("--eval-every", type=int, default=500)
+    p.add_argument("--eval-batches", type=int, default=4)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="patches per step (override bs_train_rn)")
+    p.add_argument("--total", type=int, default=8, help="patches per image")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--logdir", default="tb_logs/refinenet")
+    p.add_argument("--ckpt-dir", default="checkpoints/refinenet")
+    p.add_argument("--top-k", type=int, default=10)
+    p.add_argument("--num-workers", type=int, default=None)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--images", default=None)
+    p.add_argument("--labels", default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from deepcharuco_tpu.configs import default_config, load_configuration
+    from deepcharuco_tpu.data import BatchLoader, RefineNetDataset, device_prefetch
+    from deepcharuco_tpu.models import RefineNet
+    from deepcharuco_tpu.train import (
+        create_refinenet_state,
+        make_refinenet_eval_step,
+        make_refinenet_train_step,
+    )
+    from deepcharuco_tpu.train.checkpoints import CheckpointManager
+    from deepcharuco_tpu.train.logging import ScalarLogger
+    from deepcharuco_tpu.train.metrics import MeanAccumulator, refinenet_metric
+
+    cfg = load_configuration(args.config) if args.config else default_config()
+    bs_patches = args.batch_size or cfg.bs_train_rn
+    n_images = max(1, bs_patches // args.total)  # virtual batch (ref :22-25)
+    workers = args.num_workers or cfg.num_workers
+    print(f"virtual batch: {n_images} images x {args.total} patches")
+
+    rn = RefineNet(dtype=jnp.float32)
+    tx = optax.adam(args.lr)
+    tx, state = create_refinenet_state(rn, jax.random.PRNGKey(0), tx=tx)
+
+    ckpts = CheckpointManager(args.ckpt_dir, top_k=args.top_k)
+    if args.resume:
+        restored = ckpts.restore(args.resume)
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"])
+
+    train_ds = RefineNetDataset(cfg, labels=args.labels, images_folder=args.images,
+                                total=args.total)
+    val_ds = RefineNetDataset(cfg, labels=args.labels, images_folder=args.images,
+                              validation=True, total=args.total)
+    loader = BatchLoader(train_ds, n_images, num_workers=workers, seed=0)
+    feed = device_prefetch(loader, size=2)
+
+    def flatten(batch):
+        p = batch["patches"].reshape(-1, 24, 24, 1)
+        h = batch["heatmaps"].reshape(-1, 64, 64, 1)
+        return p, h
+
+    step = jax.jit(make_refinenet_train_step(rn, tx), donate_argnums=(0,))
+    eval_fn = jax.jit(make_refinenet_eval_step(rn))
+    metric_fn = jax.jit(refinenet_metric)
+
+    logger = ScalarLogger(args.logdir)
+    acc = MeanAccumulator()
+    t0 = time.time()
+    for i, batch in enumerate(feed):
+        if i >= args.steps:
+            break
+        patches, heat = flatten(batch)
+        state, aux = step(state, patches, heat)
+        acc.update(train_refinenet_loss=aux["loss"])
+
+        if (i + 1) % args.eval_every == 0:
+            train_scalars = acc.compute()
+            acc.reset()
+            ev = MeanAccumulator()
+            for j in range(args.eval_batches):
+                items = [val_ds[j * 4 + k] for k in range(4)]
+                vb = {k: np.stack([it[k] for it in items]) for k in items[0]}
+                p, h = flatten(vb)
+                aux_v, heat_hat = eval_fn(state, jnp.asarray(p), jnp.asarray(h))
+                d = metric_fn(heat_hat, jnp.asarray(h))
+                ev.update(val_refinenet_loss=aux_v["loss"],
+                          val_dist_refinenet_pixels=d)
+            val_scalars = ev.compute()
+            sps = args.eval_every / (time.time() - t0)
+            t0 = time.time()
+            logger.log(i + 1, {**train_scalars, **val_scalars,
+                               "steps_per_sec": sps})
+            print(f"step {i+1}: loss={train_scalars['train_refinenet_loss']:.5f} "
+                  f"val={val_scalars['val_refinenet_loss']:.5f} "
+                  f"val_dist={val_scalars['val_dist_refinenet_pixels']:.2f}px(8x) "
+                  f"({sps:.1f} steps/s)")
+            ckpts.save(f"step_{i+1:07d}",
+                       {"params": state.params, "batch_stats": state.batch_stats},
+                       metric=val_scalars["val_refinenet_loss"])
+    loader.stop()
+    logger.close()
+    print(f"best checkpoint: {ckpts.best_checkpoint()}")
+
+
+if __name__ == "__main__":
+    main()

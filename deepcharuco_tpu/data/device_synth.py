@@ -1,0 +1,365 @@
+"""On-device synthetic data generation — the TPU-native answer to the
+host-bound input pipeline.
+
+The reference's throughput machinery is CPU augmentation in DataLoader
+workers (``src/train.py:27-32``); on a host with few cores that pipeline
+starves the accelerator (measured: ~45 samples/s on this VM's single core vs
+thousands of device steps/s). Everything the board pipeline does — affine
+warp, paste, photometric corruption, dropout, label building — is dense
+pixel math, so this module runs the *entire* synthesis inside the training
+jit: the host supplies only PRNG keys.
+
+Distribution parity with ``src/transformations.py`` (documented deltas):
+- Affine ranges identical (scale 0.25–0.9, rotate ±360°, shear ±35°,
+  translate ±0.45, negative_p, dropout p=0.4 with 1–6 holes of 16–64 px).
+- Synthesis happens directly in *grayscale*: the detector consumes grayscale
+  (``pre_bgr_image``), so the reference's color-space jitters (ColorJitter /
+  RGBShift) act on the input only through their luma projection — modeled
+  here by brightness/contrast/noise on the gray channel.
+- Backgrounds are procedural (low-frequency gradients + blobs + noise), not
+  COCO photos; the host-side pipeline remains available when a photo corpus
+  exists.
+- Label-map cell collisions resolve by random scatter order (a uniformly
+  random winner among the ≤2 colliders) instead of the reference's 50% swap
+  (``data.py:44-47``) — the same marginal distribution for two colliders.
+- The RefineNet path labels with the *exact* sub-pixel corner from the warp
+  (the reference approximates it with ``cv2.cornerSubPix`` on the resampled
+  patch, ``data_refinenet.py:62-65``) — strictly cleaner supervision.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deepcharuco_tpu.configs import Config
+
+
+# ---------------------------------------------------------------------------
+# Sampling helpers
+# ---------------------------------------------------------------------------
+
+def _bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
+    """Bilinear sample img (H, W) at float coords; returns (values, inbounds)."""
+    h, w = img.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    v00 = img[y0i, x0i]
+    v01 = img[y0i, x1i]
+    v10 = img[y1i, x0i]
+    v11 = img[y1i, x1i]
+    val = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+           + fy * ((1 - fx) * v10 + fx * v11))
+    inb = (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)
+    return val, inb
+
+
+def _affine_params(key, hw: Tuple[int, int], scale_range, translate_frac):
+    """Forward 2×2 A and translation t about the canvas center (same
+    construction as the host path, augment.affine_matrix)."""
+    h, w = hw
+    ks = jax.random.split(key, 5)
+    s = jax.random.uniform(ks[0], (), minval=scale_range[0], maxval=scale_range[1])
+    ang = jax.random.uniform(ks[1], (), minval=-2 * jnp.pi, maxval=2 * jnp.pi)
+    sh = jnp.tan(jnp.deg2rad(
+        jax.random.uniform(ks[2], (2,), minval=-35.0, maxval=35.0)))
+    t_frac = jax.random.uniform(ks[3], (2,), minval=translate_frac[0],
+                                maxval=translate_frac[1])
+    c, si = jnp.cos(ang), jnp.sin(ang)
+    R = jnp.array([[c, -si], [si, c]])
+    Sh = jnp.array([[1.0, sh[0]], [sh[1], 1.0]])
+    A = (R @ Sh) * s
+    center = jnp.array([w / 2.0, h / 2.0])
+    t = center + t_frac * jnp.array([w, h]) - A @ center
+    return A, t
+
+
+def _procedural_bg(key, hw: Tuple[int, int]):
+    """Low-frequency gray background: bilinear corner gradient + 2 soft blobs
+    + broadband noise, in [0, 255]."""
+    h, w = hw
+    ks = jax.random.split(key, 6)
+    corners = jax.random.uniform(ks[0], (2, 2), minval=0.0, maxval=255.0)
+    fy = jnp.linspace(0.0, 1.0, h)[:, None]
+    fx = jnp.linspace(0.0, 1.0, w)[None, :]
+    base = ((1 - fy) * ((1 - fx) * corners[0, 0] + fx * corners[0, 1])
+            + fy * ((1 - fx) * corners[1, 0] + fx * corners[1, 1]))
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    for i in range(2):
+        kk = jax.random.split(ks[1 + i], 4)
+        cx = jax.random.uniform(kk[0], (), minval=0.0, maxval=w)
+        cy = jax.random.uniform(kk[1], (), minval=0.0, maxval=h)
+        r = jax.random.uniform(kk[2], (), minval=h / 8.0, maxval=h / 2.0)
+        col = jax.random.uniform(kk[3], (), minval=0.0, maxval=255.0)
+        d2 = (xs - cx) ** 2 + (ys - cy) ** 2
+        a = jnp.where(d2 < r * r, 0.45, 0.0)
+        base = base * (1 - a) + col * a
+    sigma = jax.random.uniform(ks[4], (), minval=2.0, maxval=12.0)
+    base = base + sigma * jax.random.normal(ks[5], (h, w))
+    return jnp.clip(base, 0.0, 255.0)
+
+
+def _dropout_mask(key, hw: Tuple[int, int], p: float):
+    """CoarseDropout (1–6 holes of 16–64 px, prob p): returns a (H, W) bool
+    'hole' map (True = punched out)."""
+    h, w = hw
+    ks = jax.random.split(key, 4)
+    apply = jax.random.uniform(ks[0]) < p
+    n_holes = jax.random.randint(ks[1], (), 1, 7)
+    sizes = jax.random.randint(ks[2], (6, 2), 16, 65)
+    pos = jax.random.uniform(ks[3], (6, 2))
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    hole = jnp.zeros((h, w), bool)
+    for i in range(6):
+        y0 = (pos[i, 0] * (h - sizes[i, 0])).astype(jnp.int32)
+        x0 = (pos[i, 1] * (w - sizes[i, 1])).astype(jnp.int32)
+        inside = ((ys >= y0) & (ys < y0 + sizes[i, 0])
+                  & (xs >= x0) & (xs < x0 + sizes[i, 1]))
+        hole = hole | (inside & (i < n_holes))
+    return hole & apply
+
+
+def _photometric(key, img: jnp.ndarray):
+    """Gray photometric stack: contrast/brightness/noise/multiplicative +
+    probabilistic 3-tap blur. img in [0,255]."""
+    ks = jax.random.split(key, 8)
+    contrast = jnp.where(jax.random.uniform(ks[0]) < 0.5,
+                         jax.random.uniform(ks[1], (), minval=0.8, maxval=1.2), 1.0)
+    img = (img - 128.0) * contrast + 128.0
+    noise_on = jax.random.uniform(ks[2]) < 0.5
+    sigma = jnp.sqrt(jax.random.uniform(ks[3], (), minval=10.0, maxval=50.0))
+    img = img + jnp.where(noise_on, sigma, 0.0) * jax.random.normal(ks[4], img.shape)
+    mult = jnp.where(jax.random.uniform(ks[5]) < 0.5,
+                     jax.random.uniform(ks[6], (), minval=0.95, maxval=1.05), 1.0)
+    img = img * mult
+    bright = jnp.where(jax.random.uniform(ks[7]) < 0.5,
+                       jax.random.uniform(jax.random.fold_in(key, 99), (),
+                                          minval=-0.8, maxval=0.35) * 255.0, 0.0)
+    img = img + bright
+    # blur: blend towards a 3×3 box-filtered copy with random strength
+    kb = jax.random.fold_in(key, 7)
+    blur_w = jnp.where(jax.random.uniform(kb) < 0.6,
+                       jax.random.uniform(jax.random.fold_in(kb, 1), (),
+                                          minval=0.3, maxval=1.0), 0.0)
+    blurred = _box3(img)
+    img = img * (1 - blur_w) + blurred * blur_w
+    return jnp.clip(img, 0.0, 255.0)
+
+
+def _box3(img: jnp.ndarray) -> jnp.ndarray:
+    """3×3 box filter with edge replication, channel-free (H, W)."""
+    p = jnp.pad(img, 1, mode="edge")
+    out = (
+        p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+        + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
+        + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+    ) / 9.0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# The synthesizer
+# ---------------------------------------------------------------------------
+
+class DeviceSynthesizer:
+    """Generates normalized detector training batches entirely on device.
+
+    Usage::
+
+        synth = DeviceSynthesizer(config)
+        images, loc, ids = synth.batch(jax.random.PRNGKey(0), 32)  # jittable
+    """
+
+    def __init__(self, config: Config, negative_p: float = 0.05,
+                 refinenet_ranges: bool = False):
+        import numpy as np
+
+        from deepcharuco_tpu import board as B
+
+        self.config = config
+        self.hw = config.input_hw
+        self.n_ids = config.n_ids
+        self.negative_p = negative_p
+        if refinenet_ranges:  # transformations.py:24-26
+            self.scale_range = (0.3, 0.75)
+            self.translate_frac = (0.0, 0.0)
+            self.dropout_p = 0.0
+        else:
+            self.scale_range = (0.25, 0.9)
+            self.translate_frac = (-0.45, 0.45)
+            self.dropout_p = 0.4
+
+        # Render the board once on host (cv2, setup time), move gray to device.
+        min_r = min(config.input_size)
+        img, corners = B.board_image(B.get_board(config), (min_r, min_r),
+                                     config.row_count, config.col_count)
+        gray = img[..., 0].astype(np.float32)  # board render is grayscale-valued
+        # Pad into the frame canvas (centered), as the host pipeline does.
+        h, w = self.hw
+        canvas = np.zeros((h, w), np.float32)
+        top, left = (h - min_r) // 2, (w - min_r) // 2
+        canvas[top:top + min_r, left:left + min_r] = gray
+        self.board = jnp.asarray(canvas)
+        # Board-region mask in canvas coords (the un-warped paste mask).
+        self.board_x0, self.board_y0 = left, top
+        self.board_x1, self.board_y1 = left + min_r, top + min_r
+        self.corners = jnp.asarray(corners.astype(np.float32)
+                                   + np.array([left, top], np.float32))
+
+    # ------------------------------------------------------------------
+
+    def _sample(self, key):
+        """One sample: returns (image_norm (H,W,1), loc (Hc,Wc), ids (Hc,Wc))."""
+        h, w = self.hw
+        ks = jax.random.split(key, 6)
+        A, t = _affine_params(ks[0], self.hw, self.scale_range, self.translate_frac)
+
+        # Inverse map for sampling: src = A⁻¹ (dst − t)
+        det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+        Ainv = jnp.array([[A[1, 1], -A[0, 1]], [-A[1, 0], A[0, 0]]]) / det
+        ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+        xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+        sx = Ainv[0, 0] * (xs - t[0]) + Ainv[0, 1] * (ys - t[1])
+        sy = Ainv[1, 0] * (xs - t[0]) + Ainv[1, 1] * (ys - t[1])
+        board_val, inb = _bilinear_sample(self.board, sx, sy)
+        # mask: source pixel inside the board square
+        on_board = (inb & (sx >= self.board_x0) & (sx <= self.board_x1 - 1)
+                    & (sy >= self.board_y0) & (sy <= self.board_y1 - 1))
+
+        bg = _procedural_bg(ks[1], self.hw)
+        hole = _dropout_mask(ks[2], self.hw, self.dropout_p)
+        is_negative = jax.random.uniform(ks[3]) < self.negative_p
+        paste = on_board & ~hole & ~is_negative
+        img = jnp.where(paste, board_val, bg)
+        img = _photometric(ks[4], img)
+
+        # Keypoints: forward-transform the canvas corners.
+        kpts = self.corners @ A.T + t  # (n_ids, 2)
+        kx, ky = kpts[:, 0], kpts[:, 1]
+        kxi = jnp.clip(kx.astype(jnp.int32), 0, w - 1)
+        kyi = jnp.clip(ky.astype(jnp.int32), 0, h - 1)
+        in_frame = (kx >= 0) & (kx < w) & (ky >= 0) & (ky < h)
+        in_hole = hole[kyi, kxi]
+        visible = in_frame & ~in_hole & ~is_negative
+
+        # Label maps via random-order scatter (random winner on collisions).
+        hc, wc = h // 8, w // 8
+        perm = jax.random.permutation(ks[5], self.n_ids)
+        cx = jnp.clip((kx / 8.0).astype(jnp.int32), 0, wc - 1)
+        cy = jnp.clip((ky / 8.0).astype(jnp.int32), 0, hc - 1)
+        cell = cy * wc + cx
+        locval = (kx.astype(jnp.int32) % 8) + 8 * (ky.astype(jnp.int32) % 8)
+        # invalid slots scatter to a dummy cell
+        cell = jnp.where(visible, cell, hc * wc)
+        loc_flat = jnp.full((hc * wc + 1,), 64, jnp.int32)
+        ids_flat = jnp.full((hc * wc + 1,), self.n_ids, jnp.int32)
+        loc_flat = loc_flat.at[cell[perm]].set(locval[perm])
+        ids_flat = ids_flat.at[cell[perm]].set(perm.astype(jnp.int32))
+        loc = loc_flat[:-1].reshape(hc, wc)
+        ids = ids_flat[:-1].reshape(hc, wc)
+
+        img_norm = ((img - 128.0) / 255.0)[..., None]
+        return img_norm, loc, ids
+
+    def batch_fn(self, batch_size: int):
+        """Jitted generator for a fixed batch size: key → (images, loc, ids)."""
+        if not hasattr(self, "_fns"):
+            self._fns = {}
+        if batch_size not in self._fns:
+            self._fns[batch_size] = jax.jit(
+                lambda key: jax.vmap(self._sample)(jax.random.split(key, batch_size))
+            )
+        return self._fns[batch_size]
+
+    def batch(self, key, batch_size: int):
+        """(images (B,H,W,1) f32, loc (B,Hc,Wc) i32, ids (B,Hc,Wc) i32)."""
+        return self.batch_fn(batch_size)(key)
+
+
+class DeviceRefineSynthesizer:
+    """On-device RefineNet patch generation.
+
+    Emits (patches (B,24,24,1), heatmaps (B,64,64,1)). The corner's exact
+    sub-pixel position is known from the warp, so the heatmap target is
+    placed at ``round((p − c)·8 + 32)`` — consistent with the inference
+    mapping ``refined = (argmax − 32)/8 + c``
+    (``src/models/refinenet.py:111-114``) and free of the reference's
+    cornerSubPix approximation.
+    """
+
+    def __init__(self, config: Config):
+        # Reuse the detector synthesizer at 2× render resolution for sharper
+        # source pixels (the reference renders RefineNet data at 2×,
+        # data_refinenet.py:97-100).
+        import dataclasses as dc
+
+        big = dc.replace(config, input_size=(config.input_size[0] * 2,
+                                             config.input_size[1] * 2))
+        self.inner = DeviceSynthesizer(big, negative_p=0.0, refinenet_ranges=True)
+        self.hw = big.input_hw
+        self.n_ids = config.n_ids
+
+    def _sample(self, key):
+        h, w = self.hw
+        ks = jax.random.split(key, 5)
+        A, t = _affine_params(ks[0], self.hw, self.inner.scale_range,
+                              self.inner.translate_frac)
+        det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+        Ainv = jnp.array([[A[1, 1], -A[0, 1]], [-A[1, 0], A[0, 0]]]) / det
+
+        # pick a corner, true sub-pixel position p (in 2×-res coords)
+        idx = jax.random.randint(ks[1], (), 0, self.n_ids)
+        p = self.inner.corners[idx] @ A.T + t
+        # half-res (original) coords: p/2; patch center = integer near p/2
+        # offset within ±4 px original (the 64×64 8× window covers ±4 px)
+        off = jax.random.uniform(ks[2], (2,), minval=-3.99, maxval=3.99)
+        center = jnp.round(p / 2.0 + off)
+
+        # 24×24 patch at original resolution ⇒ sample 2×-res source at
+        # stride 2 around the center.
+        ys = (center[1] + jnp.arange(-12, 12, dtype=jnp.float32) + 0.5)[:, None]
+        xs = (center[0] + jnp.arange(-12, 12, dtype=jnp.float32) + 0.5)[None, :]
+        sx_d = 2.0 * xs
+        sy_d = 2.0 * ys
+        sx = Ainv[0, 0] * (sx_d - t[0]) + Ainv[0, 1] * (sy_d - t[1])
+        sy = Ainv[1, 0] * (sx_d - t[0]) + Ainv[1, 1] * (sy_d - t[1])
+        val, inb = _bilinear_sample(self.inner.board, sx, sy)
+        bg = _procedural_bg(ks[3], (24, 24))
+        on_board = (inb & (sx >= self.inner.board_x0) & (sx <= self.inner.board_x1 - 1)
+                    & (sy >= self.inner.board_y0) & (sy <= self.inner.board_y1 - 1))
+        patch = jnp.where(on_board, val, bg)
+        patch = _photometric(ks[4], patch)
+
+        # heatmap target at (p/2 − center)·8 + 32 on the 64×64 grid
+        hp = (p / 2.0 - center) * 8.0 + 32.0
+        hx = jnp.clip(jnp.round(hp[0]), 0, 63)
+        hy = jnp.clip(jnp.round(hp[1]), 0, 63)
+        gy = jnp.arange(64, dtype=jnp.float32)[:, None]
+        gx = jnp.arange(64, dtype=jnp.float32)[None, :]
+        d2 = (gx - hx) ** 2 + (gy - hy) ** 2
+        expo = d2 / (2.0 * 2.0 * 2.0)
+        heat = jnp.where(expo > 4.6052, 0.0, jnp.exp(-expo))
+
+        return ((patch - 128.0) / 255.0)[..., None], heat[..., None]
+
+    def batch_fn(self, batch_size: int):
+        if not hasattr(self, "_fns"):
+            self._fns = {}
+        if batch_size not in self._fns:
+            self._fns[batch_size] = jax.jit(
+                lambda key: jax.vmap(self._sample)(jax.random.split(key, batch_size))
+            )
+        return self._fns[batch_size]
+
+    def batch(self, key, batch_size: int):
+        return self.batch_fn(batch_size)(key)

