@@ -1,0 +1,127 @@
+"""Accuracy evaluation CLI — the reference's ``inference.py __main__`` study.
+
+Runs the seeded validation stream (synthetic boards), compares detector-only
+vs RefineNet-refined corners against ground-truth labels (the reference's
+``up_scale`` study + ``pixel_error`` report, ``src/inference.py:111-162``,
+``src/utils.py:33-52``), and optionally the classical cv2.aruco detector as
+an oracle baseline. Supports both the host (reference-distribution) and the
+on-device synthetic val streams.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="Corner-accuracy evaluation")
+    p.add_argument("--config", default=None)
+    p.add_argument("--deepc", default=None)
+    p.add_argument("--refinenet", default=None)
+    p.add_argument("--samples", type=int, default=64)
+    p.add_argument("--source", choices=["host", "device"], default="device",
+                   help="validation stream: host (cv2, reference semantics) "
+                        "or device (on-TPU synthesis)")
+    p.add_argument("--px-margin", type=float, default=3.0)
+    p.add_argument("--images", default=None)
+    p.add_argument("--labels", default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepcharuco_tpu.configs import default_config, load_configuration
+    from deepcharuco_tpu.models import Detector, RefineNet
+    from deepcharuco_tpu.ops import (
+        extract_patches,
+        label_to_keypoints,
+        pred_to_keypoints,
+        refine_keypoints,
+    )
+    from deepcharuco_tpu.pipeline import load_model_variables
+
+    cfg = load_configuration(args.config) if args.config else default_config()
+    det = Detector(n_ids=cfg.n_ids, dtype=jnp.float32)
+    rn = RefineNet(dtype=jnp.float32)
+    dv = load_model_variables(args.deepc, "detector", cfg.n_ids)
+    rv = load_model_variables(args.refinenet, "refinenet")
+    if args.deepc is None:
+        print("WARNING: random detector weights")
+
+    @jax.jit
+    def forward(images):
+        out = det.apply(dv, images)
+        kp, valid = pred_to_keypoints(out["loc"], out["ids"], cfg.n_ids)
+        patches = extract_patches(images, kp)
+        n, k, p, _ = patches.shape
+        heat = rn.apply(rv, patches.reshape(n * k, p, p, 1))
+        refined = refine_keypoints(heat.reshape(n, k, 64, 64), kp)
+        return kp, valid, refined
+
+    bs = 16
+    n_batches = max(1, args.samples // bs)
+
+    if args.source == "device":
+        from deepcharuco_tpu.data.device_synth import DeviceSynthesizer
+
+        synth = DeviceSynthesizer(cfg)
+        gen = synth.batch_fn(bs)
+
+        def batches():
+            for j in range(n_batches):
+                images, loc, ids = gen(jax.random.PRNGKey(j))
+                yield images, loc, ids
+    else:
+        from deepcharuco_tpu.data import CharucoDataset
+
+        ds = CharucoDataset(cfg, labels=args.labels, images_folder=args.images,
+                            validation=True)
+
+        def batches():
+            for j in range(n_batches):
+                items = [ds[j * bs + k] for k in range(bs)]
+                yield (jnp.asarray(np.stack([it["image"] for it in items])),
+                       jnp.asarray(np.stack([it["loc"] for it in items])),
+                       jnp.asarray(np.stack([it["ids"] for it in items])))
+
+    raw_errs, ref_errs = [], []
+    n_matched = n_target = n_pred = 0
+    for images, loc, ids in batches():
+        kp, valid, refined = forward(images)
+        kp_t, valid_t = label_to_keypoints(loc, ids, cfg.n_ids)
+        kp, valid, refined = np.asarray(kp), np.asarray(valid), np.asarray(refined)
+        kp_t, valid_t = np.asarray(kp_t), np.asarray(valid_t)
+
+        both = valid & valid_t
+        d_raw = np.linalg.norm(kp - kp_t, axis=-1)[both]
+        d_ref = np.linalg.norm(refined - kp_t, axis=-1)[both]
+        raw_errs.append(d_raw)
+        ref_errs.append(d_ref)
+        n_matched += int((d_raw < args.px_margin).sum())
+        n_target += int(valid_t.sum())
+        n_pred += int(valid.sum())
+
+    raw = np.concatenate(raw_errs) if raw_errs else np.zeros(0)
+    ref = np.concatenate(ref_errs) if ref_errs else np.zeros(0)
+    print(f"samples: {n_batches * bs}  target corners: {n_target}  "
+          f"predicted: {n_pred}  matched(<{args.px_margin}px): {n_matched}")
+    if raw.size:
+        print(f"raw     corner error: mean {raw.mean():.3f}px  "
+              f"median {np.median(raw):.3f}px  max {raw.max():.2f}px")
+        print(f"refined corner error: mean {ref.mean():.3f}px  "
+              f"median {np.median(ref):.3f}px  max {ref.max():.2f}px")
+        print(f"recall@{args.px_margin}px: {n_matched / max(1, n_target):.3f}")
+    return {
+        "raw_mean": float(raw.mean()) if raw.size else None,
+        "refined_mean": float(ref.mean()) if ref.size else None,
+        "recall": n_matched / max(1, n_target),
+    }
+
+
+if __name__ == "__main__":
+    main()

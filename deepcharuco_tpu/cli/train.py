@@ -66,8 +66,10 @@ def main(argv=None):
 
     det = Detector(n_ids=cfg.n_ids, dtype=jnp.float32)
     tx = optax.adam(args.lr)
+    print("initializing model...", flush=True)
     tx, state = create_detector_state(det, jax.random.PRNGKey(0),
                                       input_hw=cfg.input_hw, tx=tx)
+    print("model initialized", flush=True)
 
     ckpts = CheckpointManager(args.ckpt_dir, top_k=args.top_k)
     if args.resume:
@@ -84,14 +86,10 @@ def main(argv=None):
         from deepcharuco_tpu.data.device_synth import DeviceSynthesizer
 
         device_synth = DeviceSynthesizer(cfg)
-
-        def fused_step(state, key):
-            images, loc, ids = jax.vmap(device_synth._sample)(
-                jax.random.split(key, bs)
-            )
-            return step_fn(state, images, loc, ids)
-
-        fused = jax.jit(fused_step, donate_argnums=(0,))
+        # Two separate jits (synthesis, then step): same device-bound
+        # throughput, far smaller programs to compile than one fused graph.
+        batch_gen = device_synth.batch_fn(bs)
+        device_step = jax.jit(step_fn, donate_argnums=(0,))
         val_batch_fn = device_synth.batch_fn(16)
 
         def feed_gen():
@@ -131,7 +129,16 @@ def main(argv=None):
         if i >= args.steps:
             break
         if device_synth is not None:
-            state, aux = fused(state, batch)
+            if i == 0:
+                print("compiling synthesis...", flush=True)
+            images, loc, ids = batch_gen(batch)
+            if i == 0:
+                jax.block_until_ready(images)
+                print("synthesis compiled; compiling train step...", flush=True)
+            state, aux = device_step(state, images, loc, ids)
+            if i == 0:
+                jax.block_until_ready(aux["loss"])
+                print("train step compiled", flush=True)
         else:
             images = batch["image"]
             loc, ids = batch["loc"], batch["ids"]

@@ -30,6 +30,9 @@ def build_argparser():
     p.add_argument("--resume", default=None)
     p.add_argument("--images", default=None)
     p.add_argument("--labels", default=None)
+    p.add_argument("--device-synth", action="store_true",
+                   help="generate patches ON the TPU (exact-subpixel labels); "
+                        "host feeds PRNG keys only")
     return p
 
 
@@ -69,12 +72,32 @@ def main(argv=None):
         state = state.replace(params=restored["params"],
                               batch_stats=restored["batch_stats"])
 
-    train_ds = RefineNetDataset(cfg, labels=args.labels, images_folder=args.images,
-                                total=args.total)
-    val_ds = RefineNetDataset(cfg, labels=args.labels, images_folder=args.images,
-                              validation=True, total=args.total)
-    loader = BatchLoader(train_ds, n_images, num_workers=workers, seed=0)
-    feed = device_prefetch(loader, size=2)
+    device_synth = None
+    loader = None
+    if args.device_synth:
+        from deepcharuco_tpu.data.device_synth import DeviceRefineSynthesizer
+
+        device_synth = DeviceRefineSynthesizer(cfg)
+        batch_gen = device_synth.batch_fn(bs_patches)
+        val_batch_fn = device_synth.batch_fn(32)
+
+        def feed_gen():
+            key = jax.random.PRNGKey(4321)
+            while True:
+                key, sub = jax.random.split(key)
+                yield sub
+
+        feed = feed_gen()
+        val_ds = None
+        print("on-device patch synthesis: host feeds PRNG keys only")
+    else:
+        train_ds = RefineNetDataset(cfg, labels=args.labels,
+                                    images_folder=args.images, total=args.total)
+        val_ds = RefineNetDataset(cfg, labels=args.labels,
+                                  images_folder=args.images,
+                                  validation=True, total=args.total)
+        loader = BatchLoader(train_ds, n_images, num_workers=workers, seed=0)
+        feed = device_prefetch(loader, size=2)
 
     def flatten(batch):
         p = batch["patches"].reshape(-1, 24, 24, 1)
@@ -91,7 +114,10 @@ def main(argv=None):
     for i, batch in enumerate(feed):
         if i >= args.steps:
             break
-        patches, heat = flatten(batch)
+        if device_synth is not None:
+            patches, heat = batch_gen(batch)
+        else:
+            patches, heat = flatten(batch)
         state, aux = step(state, patches, heat)
         acc.update(train_refinenet_loss=aux["loss"])
 
@@ -100,11 +126,16 @@ def main(argv=None):
             acc.reset()
             ev = MeanAccumulator()
             for j in range(args.eval_batches):
-                items = [val_ds[j * 4 + k] for k in range(4)]
-                vb = {k: np.stack([it[k] for it in items]) for k in items[0]}
-                p, h = flatten(vb)
-                aux_v, heat_hat = eval_fn(state, jnp.asarray(p), jnp.asarray(h))
-                d = metric_fn(heat_hat, jnp.asarray(h))
+                if device_synth is not None:
+                    p, h = val_batch_fn(jax.random.PRNGKey(888 + j))
+                    p, h = jnp.asarray(p), jnp.asarray(h)
+                else:
+                    items = [val_ds[j * 4 + k] for k in range(4)]
+                    vb = {k: np.stack([it[k] for it in items]) for k in items[0]}
+                    p, h = flatten(vb)
+                    p, h = jnp.asarray(p), jnp.asarray(h)
+                aux_v, heat_hat = eval_fn(state, p, h)
+                d = metric_fn(heat_hat, h)
                 ev.update(val_refinenet_loss=aux_v["loss"],
                           val_dist_refinenet_pixels=d)
             val_scalars = ev.compute()
@@ -119,7 +150,8 @@ def main(argv=None):
             ckpts.save(f"step_{i+1:07d}",
                        {"params": state.params, "batch_stats": state.batch_stats},
                        metric=val_scalars["val_refinenet_loss"])
-    loader.stop()
+    if loader is not None:
+        loader.stop()
     logger.close()
     print(f"best checkpoint: {ckpts.best_checkpoint()}")
 

@@ -257,6 +257,46 @@ def random_brightness_contrast(rng, img, p=0.5,
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+def match_histograms(image: np.ndarray, reference: np.ndarray) -> np.ndarray:
+    """Per-channel histogram matching (CDF mapping).
+
+    Equivalent of the vendored-skimage ``match_histograms`` the reference
+    carries for its (defined-but-unwired) ``HistogramMatching`` transform
+    (``src/custom_aug/custom_aug.py:65-221``): each channel of ``image`` is
+    remapped so its empirical CDF matches ``reference``'s.
+    """
+    out = np.empty_like(image)
+    for c in range(image.shape[-1]) if image.ndim == 3 else [None]:
+        src = image[..., c] if c is not None else image
+        ref = reference[..., c] if c is not None else reference
+        s_vals, s_inv, s_counts = np.unique(src.ravel(), return_inverse=True,
+                                            return_counts=True)
+        r_vals, r_counts = np.unique(ref.ravel(), return_counts=True)
+        s_cdf = np.cumsum(s_counts) / src.size
+        r_cdf = np.cumsum(r_counts) / ref.size
+        mapped = np.interp(s_cdf, r_cdf, r_vals)
+        res = mapped[s_inv].reshape(src.shape)
+        if c is not None:
+            out[..., c] = res.astype(image.dtype)
+        else:
+            out = res.astype(image.dtype)
+    return out
+
+
+def histogram_match_board(rng, board: np.ndarray, target: np.ndarray,
+                          p: float = 0.0, blend=(0.5, 1.0)) -> np.ndarray:
+    """Optionally blend the board toward ``target``'s histogram (the
+    reference's HistogramMatching blend_ratio semantics). Disabled by default
+    (p=0) — the reference never wires it into the live pipeline either
+    (``transformations.py:102-118``)."""
+    if rng.random() >= p:
+        return board
+    ratio = rng.uniform(*blend)
+    matched = match_histograms(board, target).astype(np.float32)
+    return np.clip(board.astype(np.float32) * (1 - ratio) + matched * ratio,
+                   0, 255).astype(np.uint8)
+
+
 def photometric_pipeline(rng, img):
     """The reference's joint photometric stack (``transformations.py:104-117``)."""
     img = color_jitter(rng, img)

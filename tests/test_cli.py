@@ -91,6 +91,15 @@ def test_calib_cli(tmp_path, capsys):
     assert "reprojection" in capsys.readouterr().out
 
 
+def test_eval_cli_device_source(capsys):
+    from deepcharuco_tpu.cli.eval import main
+
+    out = main(["--samples", "16", "--source", "device"])
+    captured = capsys.readouterr().out
+    assert "target corners" in captured
+    assert out["recall"] >= 0.0
+
+
 def test_train_cli_few_steps(tmp_path, capsys):
     from deepcharuco_tpu.cli.train import main
 
