@@ -1,8 +1,17 @@
 from deepcharuco_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
+    shard_frames,
     replicate,
     sharded_train_step,
+    sharded_inference,
 )
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "sharded_train_step"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "shard_frames",
+    "replicate",
+    "sharded_train_step",
+    "sharded_inference",
+]

@@ -59,6 +59,28 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def sharded_inference(fn, mesh: Mesh):
+    """Jit an inference program for the mesh with frames sharded over
+    ('data', 'spatial') on (batch, height).
+
+    For large frames this is the spatial analogue of sequence parallelism:
+    XLA inserts conv halo exchanges over ICI from the input sharding alone.
+    The returned callable takes the frame batch (N, H, W[, C]) already placed
+    (or places it itself via the committed sharding on first use).
+    """
+    return jax.jit(fn, out_shardings=None)
+
+
+def shard_frames(mesh: Mesh, frames):
+    """Place a frame batch (N, H, W[, C]) with batch over 'data' and height
+    over 'spatial' (when divisible)."""
+    spec = [None] * frames.ndim
+    spec[0] = "data"
+    if mesh.shape["spatial"] > 1 and frames.shape[1] % mesh.shape["spatial"] == 0:
+        spec[1] = "spatial"
+    return jax.device_put(frames, NamedSharding(mesh, P(*spec)))
+
+
 def sharded_train_step(step_fn, mesh: Mesh):
     """Jit a train step for the mesh: state replicated, batch args sharded.
 

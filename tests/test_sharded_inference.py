@@ -1,0 +1,62 @@
+"""Spatial/data-sharded inference on the virtual 8-device mesh: the fused
+two-stage pipeline under batch + height sharding must be numerically
+identical to the single-device program (XLA inserts the conv halo
+exchanges)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deepcharuco_tpu.configs import default_config
+from deepcharuco_tpu.models import Detector, RefineNet
+from deepcharuco_tpu.parallel import make_mesh, replicate, shard_frames, sharded_inference
+from deepcharuco_tpu.pipeline import two_stage_forward
+
+CFG = default_config()
+
+
+def _setup():
+    det = Detector(n_ids=CFG.n_ids, dtype=jnp.float32)
+    rn = RefineNet(dtype=jnp.float32)
+    dv = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 240, 320, 1)))
+    rv = rn.init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 1)))
+    fn = lambda dv, rv, x: two_stage_forward(det, rn, dv, rv, x, CFG.n_ids)
+    return dv, rv, fn
+
+
+def test_two_stage_sharded_matches_single_device(rng):
+    dv, rv, fn = _setup()
+    frames = rng.integers(0, 255, (4, 240, 320, 3)).astype(np.uint8)
+
+    ref = jax.jit(fn)(dv, rv, jnp.asarray(frames))
+    ref = tuple(np.asarray(o) for o in ref)
+
+    mesh = make_mesh(n_data=4, n_spatial=2)
+    with mesh:
+        dvs = replicate(mesh, dv)
+        rvs = replicate(mesh, rv)
+        x = shard_frames(mesh, jnp.asarray(frames))
+        out = sharded_inference(fn, mesh)(dvs, rvs, x)
+        out = tuple(np.asarray(o) for o in out)
+
+    # decode argmax is exact ⇒ identical keypoints/validity; refined corners
+    # may differ only by float noise through the heatmap argmax (exact too)
+    np.testing.assert_array_equal(ref[0], out[0])
+    np.testing.assert_array_equal(ref[1], out[1])
+    np.testing.assert_allclose(ref[2], out[2], atol=1e-4)
+
+
+def test_two_stage_spatial_only_mesh(rng):
+    dv, rv, fn = _setup()
+    frames = rng.integers(0, 255, (1, 240, 320, 3)).astype(np.uint8)
+    ref = jax.jit(fn)(dv, rv, jnp.asarray(frames))
+
+    mesh = make_mesh(n_data=1, n_spatial=8)
+    with mesh:
+        dvs = replicate(mesh, dv)
+        rvs = replicate(mesh, rv)
+        x = shard_frames(mesh, jnp.asarray(frames))
+        out = sharded_inference(fn, mesh)(dvs, rvs, x)
+
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(out[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
