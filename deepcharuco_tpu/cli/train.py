@@ -148,6 +148,13 @@ def main(argv=None):
         acc.update(train_loss=aux["loss"], train_loss_loc=aux["loss_loc"],
                    train_loss_ids=aux["loss_ids"])
 
+        # Failure detection: a non-finite loss means the run is lost — stop
+        # immediately instead of training on garbage (checked cheaply on the
+        # already-fetched host scalar).
+        if (i + 1) % 100 == 0 and not np.isfinite(float(aux["loss"])):
+            print(f"FATAL: non-finite loss at step {i+1}; aborting", flush=True)
+            break
+
         if (i + 1) % args.eval_every == 0:
             train_scalars = acc.compute()
             acc.reset()

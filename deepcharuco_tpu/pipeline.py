@@ -132,6 +132,9 @@ def load_model_variables(ckpt: Optional[str], kind: str, n_ids: int = 16):
                 else refinenet_variables_from_torch)
         return conv(sd)
 
+    if ckpt.endswith(".npz"):
+        return variables_from_npz(ckpt)
+
     import os
 
     from deepcharuco_tpu.train.checkpoints import CheckpointManager
@@ -140,6 +143,32 @@ def load_model_variables(ckpt: Optional[str], kind: str, n_ids: int = 16):
     mgr = CheckpointManager(directory or ".")
     restored = mgr.restore(name)
     return {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+
+
+def variables_to_npz(path: str, variables) -> None:
+    """Flatten a Flax variable tree into a compressed ``.npz`` (keys are
+    '/'-joined paths) — the portable single-file weight format for shipping
+    trained models in-repo."""
+    import jax
+
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
+        key = "/".join(getattr(k, "key", str(k)) for k in kp)
+        flat[key] = np.asarray(leaf)
+    np.savez_compressed(path, **flat)
+
+
+def variables_from_npz(path: str):
+    """Inverse of :func:`variables_to_npz`."""
+    data = np.load(path)
+    tree: dict = {}
+    for key in data.files:
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return tree
 
 
 def load_pipeline(config: Config, deepc_ckpt: Optional[str] = None,

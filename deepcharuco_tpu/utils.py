@@ -54,6 +54,25 @@ def pixel_error(kpts_raw, kpts_ref, kpts_target,
     return float(d.mean()), float(d_ref.mean())
 
 
+def corner_sub_pix(img_gray: np.ndarray, corners: np.ndarray,
+                   region=(8, 8)) -> np.ndarray:
+    """cv2.cornerSubPix with the reference's termination criteria
+    (``src/models/model_utils.py:12-16``: 30 iterations / 0.1 eps).
+    corners: (N, 2) float pixel positions; returns refined (N, 2)."""
+    import cv2
+
+    term = (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_COUNT, 30, 0.1)
+    pts = np.expand_dims(np.asarray(corners), axis=1).astype(np.float32)
+    return cv2.cornerSubPix(img_gray, pts, region, (-1, -1), term).squeeze(1)
+
+
+def pred_sub_pix(img_gray: np.ndarray, kpts: np.ndarray, ids=None,
+                 region=(8, 8)) -> np.ndarray:
+    """Classical sub-pixel refinement of predicted keypoints (reference
+    ``pred_sub_pix``, ``model_utils.py:8-9``) — an alternative to RefineNet."""
+    return corner_sub_pix(img_gray, kpts, region=region)
+
+
 def save_video(frames, output_path: str, fps: int = 30):
     """Write BGR frames to an mp4 (reference ``utils.py:55-69``)."""
     import cv2
