@@ -70,7 +70,6 @@ def main(argv=None):
 
     from deepcharuco_tpu.configs import default_config, load_configuration
     from deepcharuco_tpu.pipeline import (
-        Camera,
         full_forward,
         load_model_variables,
         two_stage_forward,
@@ -109,8 +108,6 @@ def main(argv=None):
     print(f"{label}: {fps:.1f} fps  ({dt / args.iters * 1000:.2f} ms / batch of {args.batch})")
 
     if args.breakdown:
-        det_only = jax.jit(lambda dv, x: det.apply(
-            dv, x[..., None].astype(jnp.float32) if x.ndim == 3 else x))
         from deepcharuco_tpu.ops import normalize_gray
 
         det_fn = jax.jit(lambda dv, x: det.apply(dv, normalize_gray(x)))

@@ -16,7 +16,6 @@ lives in :mod:`deepcharuco_tpu.data.prefetch`.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Tuple
 
 import numpy as np

@@ -16,7 +16,7 @@ Same distribution semantics here, explicit ``np.random.Generator``
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

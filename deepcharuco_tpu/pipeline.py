@@ -18,7 +18,6 @@ Functional core + a thin convenience class:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
