@@ -33,6 +33,10 @@ def build_argparser():
     p.add_argument("--device-synth", action="store_true",
                    help="generate patches ON the TPU (exact-subpixel labels); "
                         "host feeds PRNG keys only")
+    p.add_argument("--frame-patches", action="store_true",
+                   help="with --device-synth: crop patches from full synthetic "
+                        "frames via the inference-time extract_patches gather "
+                        "(zero train/test distribution gap)")
     return p
 
 
@@ -75,9 +79,13 @@ def main(argv=None):
     device_synth = None
     loader = None
     if args.device_synth:
-        from deepcharuco_tpu.data.device_synth import DeviceRefineSynthesizer
+        from deepcharuco_tpu.data.device_synth import (
+            DeviceRefineSynthesizer,
+            FramePatchSynthesizer,
+        )
 
-        device_synth = DeviceRefineSynthesizer(cfg)
+        device_synth = (FramePatchSynthesizer(cfg) if args.frame_patches
+                        else DeviceRefineSynthesizer(cfg))
         batch_gen = device_synth.batch_fn(bs_patches)
         val_batch_fn = device_synth.batch_fn(32)
 

@@ -220,6 +220,12 @@ class DeviceSynthesizer:
 
     def _sample(self, key):
         """One sample: returns (image_norm (H,W,1), loc (Hc,Wc), ids (Hc,Wc))."""
+        img, loc, ids, _, _ = self._sample_full(key)
+        return img, loc, ids
+
+    def _sample_full(self, key):
+        """As :meth:`_sample` plus (kpts (n_ids,2) float sub-pixel corners,
+        visible (n_ids,) bool)."""
         h, w = self.hw
         ks = jax.random.split(key, 6)
         A, t = _affine_params(ks[0], self.hw, self.scale_range, self.translate_frac)
@@ -269,7 +275,7 @@ class DeviceSynthesizer:
         ids = ids_flat[:-1].reshape(hc, wc)
 
         img_norm = ((img - 128.0) / 255.0)[..., None]
-        return img_norm, loc, ids
+        return img_norm, loc, ids, kpts, visible
 
     def batch_fn(self, batch_size: int):
         """Jitted generator for a fixed batch size: key → (images, loc, ids)."""
@@ -283,6 +289,80 @@ class DeviceSynthesizer:
 
     def batch(self, key, batch_size: int):
         """(images (B,H,W,1) f32, loc (B,Hc,Wc) i32, ids (B,Hc,Wc) i32)."""
+        return self.batch_fn(batch_size)(key)
+
+
+class FramePatchSynthesizer:
+    """RefineNet patches drawn from full synthesized frames through the SAME
+    ``extract_patches`` gather the inference pipeline uses — zero train/test
+    distribution gap (the standalone patch sampler below renders patches
+    directly, which differs subtly in sharpness/alignment from
+    frame-then-crop).
+
+    Per sample: synthesize one detector frame (known exact sub-pixel corner
+    positions from the warp), pick a random visible corner, crop the 24×24
+    patch at ``round(corner) + jitter`` (jitter ≤ ±3 px, the detector's raw
+    error regime), label = Gaussian at ``(corner − center)·8 + 32`` on the
+    64×64 grid — the exact inverse of ``refine_keypoints``.
+    """
+
+    def __init__(self, config: Config, jitter_px: float = 3.0,
+                 per_frame: int = 8):
+        self.inner = DeviceSynthesizer(config, negative_p=0.0)
+        self.hw = config.input_hw
+        self.n_ids = config.n_ids
+        self.jitter = jitter_px
+        self.per_frame = per_frame  # ≙ reference total=8 patches per image
+
+    def _sample(self, key):
+        """One frame → (per_frame, 24, 24, 1) patches + (per_frame, 64, 64, 1)
+        heats. Short corner lists pad by re-picking (reference's duplication
+        padding, data_refinenet.py:163-170)."""
+        from deepcharuco_tpu.ops.patches import extract_patches
+
+        h, w = self.hw
+        ks = jax.random.split(key, 3)
+        img, _, _, kpts, visible = self.inner._sample_full(ks[0])
+        in_frame = (visible & (kpts[:, 0] >= 4) & (kpts[:, 0] < w - 4)
+                    & (kpts[:, 1] >= 4) & (kpts[:, 1] < h - 4))
+
+        # pick per_frame corners, preferring distinct in-frame ones
+        noise = jax.random.uniform(ks[1], (self.per_frame, self.n_ids))
+        scores = in_frame[None, :].astype(jnp.float32) * 10.0 + noise
+        idx = jnp.argmax(scores, axis=-1)                  # (per_frame,)
+        p = kpts[idx]                                      # (per_frame, 2)
+
+        off = jax.random.uniform(ks[2], (self.per_frame, 2),
+                                 minval=-self.jitter, maxval=self.jitter)
+        center = jnp.round(p + off)
+        patches = extract_patches(img[None, ..., 0], center[None])[0]  # (P,24,24)
+
+        hp = (p - center) * 8.0 + 32.0                     # (per_frame, 2)
+        hx = jnp.clip(jnp.round(hp[:, 0]), 0, 63)[:, None, None]
+        hy = jnp.clip(jnp.round(hp[:, 1]), 0, 63)[:, None, None]
+        gy = jnp.arange(64, dtype=jnp.float32)[None, :, None]
+        gx = jnp.arange(64, dtype=jnp.float32)[None, None, :]
+        expo = ((gx - hx) ** 2 + (gy - hy) ** 2) / 8.0
+        heat = jnp.where(expo > 4.6052, 0.0, jnp.exp(-expo))
+        return patches[..., None], heat[..., None]
+
+    def batch_fn(self, batch_size: int):
+        """key → (batch_size patches, heats); batch_size must be a multiple
+        of per_frame (frames = batch_size // per_frame)."""
+        if not hasattr(self, "_fns"):
+            self._fns = {}
+        if batch_size not in self._fns:
+            frames = max(1, batch_size // self.per_frame)
+
+            def gen(key):
+                p, hm = jax.vmap(self._sample)(jax.random.split(key, frames))
+                return (p.reshape(-1, 24, 24, 1)[:batch_size],
+                        hm.reshape(-1, 64, 64, 1)[:batch_size])
+
+            self._fns[batch_size] = jax.jit(gen)
+        return self._fns[batch_size]
+
+    def batch(self, key, batch_size: int):
         return self.batch_fn(batch_size)(key)
 
 
@@ -326,9 +406,12 @@ class DeviceRefineSynthesizer:
         center = jnp.round(p / 2.0 + off)
 
         # 24×24 patch at original resolution ⇒ sample 2×-res source at
-        # stride 2 around the center.
-        ys = (center[1] + jnp.arange(-12, 12, dtype=jnp.float32) + 0.5)[:, None]
-        xs = (center[0] + jnp.arange(-12, 12, dtype=jnp.float32) + 0.5)[None, :]
+        # stride 2 around the center. Pixel j maps to source c + j − 12 —
+        # EXACTLY the integer-aligned grid inference-time extract_patches
+        # crops (ops/patches.py); any half-pixel offset here would bake a
+        # 0.5 px bias into every refined corner.
+        ys = (center[1] + jnp.arange(-12, 12, dtype=jnp.float32))[:, None]
+        xs = (center[0] + jnp.arange(-12, 12, dtype=jnp.float32))[None, :]
         sx_d = 2.0 * xs
         sy_d = 2.0 * ys
         sx = Ainv[0, 0] * (sx_d - t[0]) + Ainv[0, 1] * (sy_d - t[1])
