@@ -88,12 +88,21 @@ def label_to_keypoints(loc: jnp.ndarray, ids: jnp.ndarray, dust_bin_ids: int,
     return keypoints, valid
 
 
-def pred_to_keypoints(loc_hat: jnp.ndarray, ids_hat: jnp.ndarray, dust_bin_ids: int):
+def pred_to_keypoints(loc_hat: jnp.ndarray, ids_hat: jnp.ndarray, dust_bin_ids: int,
+                      min_margin: float | None = None):
     """Model heads → fixed-capacity keypoints (ref ``pred_to_keypoints``,
     ``model_utils.py:81-88``). Ties between duplicate-id cells break by
-    ids-head confidence (the winning channel's logit)."""
+    ids-head confidence (the winning channel's logit).
+
+    ``min_margin`` (optional, OFF by default for reference parity): require
+    the winning id logit to beat the dustbin logit by at least this much —
+    suppresses the rare wrong-cell outliers a softmax-argmax decode admits.
+    """
     loc_argmax, ids_argmax = pred_argmax(loc_hat, ids_hat, dust_bin_ids)
     conf = jnp.max(ids_hat, axis=-1)  # (N, Hc, Wc)
+    if min_margin is not None:
+        margin = conf - ids_hat[..., dust_bin_ids]
+        ids_argmax = jnp.where(margin >= min_margin, ids_argmax, dust_bin_ids)
     return label_to_keypoints(loc_argmax, ids_argmax, dust_bin_ids, scores=conf)
 
 

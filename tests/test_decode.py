@@ -101,6 +101,25 @@ def test_decode_matches_reference_semantics_random():
                 np.testing.assert_array_equal(kpts[0, k], ref[k][:2])
 
 
+def test_pred_to_keypoints_min_margin():
+    hc, wc = 4, 5
+    loc = np.zeros((1, hc, wc, 65), np.float32)
+    ids = np.zeros((1, hc, wc, N_IDS + 1), np.float32)
+    loc[..., 64] += 1.0
+    ids[..., N_IDS] += 1.0
+    # confident detection: id 2 at (1,1), margin 8-1=7
+    loc[0, 1, 1, 0] = 5.0
+    ids[0, 1, 1, 2] = 8.0
+    # marginal detection: id 5 at (2,2), margin 1.4-1=0.4
+    loc[0, 2, 2, 0] = 5.0
+    ids[0, 2, 2, 5] = 1.4
+    _, v_off = pred_to_keypoints(jnp.asarray(loc), jnp.asarray(ids), N_IDS)
+    _, v_on = pred_to_keypoints(jnp.asarray(loc), jnp.asarray(ids), N_IDS,
+                                min_margin=2.0)
+    assert bool(v_off[0, 2]) and bool(v_off[0, 5])      # parity: both kept
+    assert bool(v_on[0, 2]) and not bool(v_on[0, 5])    # margin filters
+
+
 def test_heatmap_argmax2d():
     heat = np.zeros((3, 64, 64), np.float32)
     heat[0, 10, 20] = 1.0
