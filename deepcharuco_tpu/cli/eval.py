@@ -23,6 +23,16 @@ def build_argparser():
                    help="validation stream: host (cv2, reference semantics) "
                         "or device (on-TPU synthesis)")
     p.add_argument("--px-margin", type=float, default=3.0)
+    p.add_argument("--min-margin", type=float, default=None,
+                   help="id-vs-dustbin logit margin filter (decode knob)")
+    p.add_argument("--truth", choices=["labels", "subpixel"], default="labels",
+                   help="reference corners: quantized label maps (reference "
+                        "semantics) or exact warp-derived sub-pixel positions "
+                        "(device source only; the honest metric for refined "
+                        "corners)")
+    p.add_argument("--soft-argmax", action="store_true",
+                   help="decode the refine heatmap with soft-argmax "
+                        "(continuous sub-pixel) instead of hard argmax")
     p.add_argument("--images", default=None)
     p.add_argument("--labels", default=None)
     return p
@@ -42,6 +52,7 @@ def main(argv=None):
         label_to_keypoints,
         pred_to_keypoints,
         refine_keypoints,
+        refine_keypoints_soft,
     )
     from deepcharuco_tpu.pipeline import load_model_variables
 
@@ -56,26 +67,41 @@ def main(argv=None):
     @jax.jit
     def forward(images):
         out = det.apply(dv, images)
-        kp, valid = pred_to_keypoints(out["loc"], out["ids"], cfg.n_ids)
+        kp, valid = pred_to_keypoints(out["loc"], out["ids"], cfg.n_ids,
+                                      min_margin=args.min_margin)
         patches = extract_patches(images, kp)
         n, k, p, _ = patches.shape
         heat = rn.apply(rv, patches.reshape(n * k, p, p, 1))
-        refined = refine_keypoints(heat.reshape(n, k, 64, 64), kp)
+        heat = heat.reshape(n, k, 64, 64)
+        refined = (refine_keypoints_soft(heat, kp) if args.soft_argmax
+                   else refine_keypoints(heat, kp))
         return kp, valid, refined
 
     bs = 16
     n_batches = max(1, args.samples // bs)
 
+    if args.truth == "subpixel" and args.source != "device":
+        raise SystemExit("--truth subpixel requires --source device")
+
     if args.source == "device":
         from deepcharuco_tpu.data.device_synth import DeviceSynthesizer
 
         synth = DeviceSynthesizer(cfg)
-        gen = synth.batch_fn(bs)
+        if args.truth == "subpixel":
+            full_fn = jax.jit(lambda key: jax.vmap(synth._sample_full)(
+                jax.random.split(key, bs)))
 
-        def batches():
-            for j in range(n_batches):
-                images, loc, ids = gen(jax.random.PRNGKey(j))
-                yield images, loc, ids
+            def batches():
+                for j in range(n_batches):
+                    images, loc, ids, kpts, vis = full_fn(jax.random.PRNGKey(j))
+                    yield images, (kpts, vis)
+        else:
+            gen = synth.batch_fn(bs)
+
+            def batches():
+                for j in range(n_batches):
+                    images, loc, ids = gen(jax.random.PRNGKey(j))
+                    yield images, (loc, ids)
     else:
         from deepcharuco_tpu.data import CharucoDataset
 
@@ -86,14 +112,17 @@ def main(argv=None):
             for j in range(n_batches):
                 items = [ds[j * bs + k] for k in range(bs)]
                 yield (jnp.asarray(np.stack([it["image"] for it in items])),
-                       jnp.asarray(np.stack([it["loc"] for it in items])),
-                       jnp.asarray(np.stack([it["ids"] for it in items])))
+                       (jnp.asarray(np.stack([it["loc"] for it in items])),
+                        jnp.asarray(np.stack([it["ids"] for it in items]))))
 
     raw_errs, ref_errs = [], []
     n_matched = n_target = n_pred = 0
-    for images, loc, ids in batches():
+    for images, truth in batches():
         kp, valid, refined = forward(images)
-        kp_t, valid_t = label_to_keypoints(loc, ids, cfg.n_ids)
+        if args.truth == "subpixel":
+            kp_t, valid_t = truth
+        else:
+            kp_t, valid_t = label_to_keypoints(truth[0], truth[1], cfg.n_ids)
         kp, valid, refined = np.asarray(kp), np.asarray(valid), np.asarray(refined)
         kp_t, valid_t = np.asarray(kp_t), np.asarray(valid_t)
 

@@ -5,6 +5,7 @@ from deepcharuco_tpu.ops.decode import (
     pred_to_keypoints,
     heatmap_argmax2d,
     refine_keypoints,
+    refine_keypoints_soft,
 )
 from deepcharuco_tpu.ops.patches import extract_patches
 from deepcharuco_tpu.ops.heatmap import gaussian_heatmap
@@ -18,6 +19,7 @@ __all__ = [
     "pred_to_keypoints",
     "heatmap_argmax2d",
     "refine_keypoints",
+    "refine_keypoints_soft",
     "extract_patches",
     "gaussian_heatmap",
 ]

@@ -129,6 +129,30 @@ def test_heatmap_argmax2d():
     np.testing.assert_array_equal(out, [[20, 10], [0, 0], [63, 63]])
 
 
+def test_refine_keypoints_soft_subgrid_precision():
+    """Soft-argmax recovers a Gaussian peak BETWEEN heatmap pixels — the
+    sub-grid precision hard argmax cannot reach."""
+    from deepcharuco_tpu.ops import refine_keypoints_soft
+    from deepcharuco_tpu.ops.heatmap import gaussian_heatmap
+
+    # peak at fractional position (20.4, 33.7): build by sampling the
+    # gaussian at that continuous center
+    ys = np.arange(64, dtype=np.float32)[:, None]
+    xs = np.arange(64, dtype=np.float32)[None, :]
+    cx, cy = 20.4, 33.7
+    heat = np.exp(-((xs - cx) ** 2 + (ys - cy) ** 2) / 8.0).astype(np.float32)
+
+    kpt = jnp.asarray([[50.0, 60.0]])
+    soft = np.asarray(refine_keypoints_soft(jnp.asarray(heat)[None], kpt))
+    expect = np.array([50.0 + (cx - 32) / 8, 60.0 + (cy - 32) / 8])
+    np.testing.assert_allclose(soft[0], expect, atol=0.02)  # ≪ 1/8 px grid
+
+    hard = np.asarray(refine_keypoints(jnp.asarray(heat)[None], kpt))
+    soft_err = np.abs(soft[0] - expect).max()
+    hard_err = np.abs(hard[0] - expect).max()
+    assert soft_err < hard_err  # soft beats the grid quantization
+
+
 def test_refine_keypoints_mapping():
     # Argmax exactly at (32, 32) ⇒ refined == keypoint (ref refinenet.py:114)
     heat = np.zeros((2, 64, 64), np.float32)
