@@ -66,31 +66,46 @@ def _to_gray_input(frames: jnp.ndarray) -> jnp.ndarray:
 
 
 def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
-                      det_vars, rn_vars, frames, n_ids: int):
+                      det_vars, rn_vars, frames, n_ids: int,
+                      soft_refine: bool = False,
+                      min_margin: Optional[float] = None):
     """Detector → decode → patch gather → RefineNet → sub-pixel corners.
 
     Returns (keypoints, valid, refined): (N, n_ids, 2), (N, n_ids) bool,
     (N, n_ids, 2). With no refinenet, ``refined`` is the raw keypoints
     (reference behavior when ``refinenet is None``, ``inference.py:53-57``).
+
+    ``soft_refine`` decodes the heatmap with a soft-argmax (continuous
+    sub-pixel positions, measurably better than the reference's hard argmax);
+    ``min_margin`` filters low-confidence ids (see ``ops.pred_to_keypoints``).
+    Both default off for reference parity.
     """
+    from deepcharuco_tpu.ops import refine_keypoints_soft
+
     g = _to_gray_input(frames)
     out = detector.apply(det_vars, g)
-    keypoints, valid = pred_to_keypoints(out["loc"], out["ids"], n_ids)
+    keypoints, valid = pred_to_keypoints(out["loc"], out["ids"], n_ids,
+                                         min_margin=min_margin)
     if refinenet is None:
         return keypoints, valid, keypoints
     patches = extract_patches(g, keypoints)
     n, k, p, _ = patches.shape
     heat = refinenet.apply(rn_vars, patches.reshape(n * k, p, p, 1))
-    refined = refine_keypoints(heat.reshape(n, k, 64, 64), keypoints)
+    heat = heat.reshape(n, k, 64, 64)
+    refined = (refine_keypoints_soft(heat, keypoints) if soft_refine
+               else refine_keypoints(heat, keypoints))
     return keypoints, valid, refined
 
 
 def full_forward(detector: Detector, refinenet: Optional[RefineNet],
                  det_vars, rn_vars, frames, n_ids: int,
-                 object_points, K, dist, pnp_iters: int = 20):
+                 object_points, K, dist, pnp_iters: int = 20,
+                 soft_refine: bool = False,
+                 min_margin: Optional[float] = None):
     """:func:`two_stage_forward` + batched planar PnP, all in one program."""
     keypoints, valid, refined = two_stage_forward(
-        detector, refinenet, det_vars, rn_vars, frames, n_ids
+        detector, refinenet, det_vars, rn_vars, frames, n_ids,
+        soft_refine=soft_refine, min_margin=min_margin,
     )
     solve = lambda ip, v: solve_pnp(object_points, ip, v, K, dist, iters=pnp_iters)
     ok, rvec, tvec, rms = jax.vmap(solve)(refined, valid)
@@ -192,7 +207,9 @@ class InferencePipeline:
 
     def __init__(self, config: Config, det_vars, rn_vars=None,
                  camera: Optional[Camera] = None,
-                 compute_dtype=jnp.bfloat16, pnp_iters: int = 20):
+                 compute_dtype=jnp.bfloat16, pnp_iters: int = 20,
+                 soft_refine: bool = False,
+                 min_margin: Optional[float] = None):
         self.config = config
         self.n_ids = config.n_ids
         self.detector = Detector(n_ids=config.n_ids, dtype=compute_dtype)
@@ -207,7 +224,8 @@ class InferencePipeline:
 
         self._two_stage = jax.jit(
             lambda dv, rv, x: two_stage_forward(
-                self.detector, self.refinenet, dv, rv, x, self.n_ids
+                self.detector, self.refinenet, dv, rv, x, self.n_ids,
+                soft_refine=soft_refine, min_margin=min_margin,
             )
         )
         if camera is not None:
@@ -216,7 +234,8 @@ class InferencePipeline:
             self._full = jax.jit(
                 lambda dv, rv, x: full_forward(
                     self.detector, self.refinenet, dv, rv, x, self.n_ids,
-                    self.object_points, K, dist, pnp_iters
+                    self.object_points, K, dist, pnp_iters,
+                    soft_refine=soft_refine, min_margin=min_margin,
                 )
             )
         else:

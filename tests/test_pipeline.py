@@ -97,3 +97,13 @@ def test_inference_pipeline_gray_input():
     frames = np.zeros((1, 240, 320), np.uint8)
     kp, valid, refined = pipe.detect(frames)
     assert kp.shape == (1, 16, 2)
+
+
+def test_inference_pipeline_soft_refine_and_margin():
+    _, _, dv, rv = _variables()
+    pipe = InferencePipeline(CFG, dv, rv, compute_dtype=jnp.float32,
+                             soft_refine=True, min_margin=0.5)
+    frames = np.zeros((1, 240, 320, 3), np.uint8)
+    kp, valid, refined = pipe.detect(frames)
+    assert refined.shape == (1, 16, 2)
+    assert np.isfinite(refined).all()
