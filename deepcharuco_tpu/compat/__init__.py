@@ -4,6 +4,7 @@ from deepcharuco_tpu.compat.torch_convert import (
     load_lightning_checkpoint,
     detector_state_dict_from_variables,
     refinenet_state_dict_from_variables,
+    save_lightning_checkpoint,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "load_lightning_checkpoint",
     "detector_state_dict_from_variables",
     "refinenet_state_dict_from_variables",
+    "save_lightning_checkpoint",
 ]

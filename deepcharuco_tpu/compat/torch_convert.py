@@ -139,3 +139,28 @@ def detector_state_dict_from_variables(variables: Dict) -> Dict[str, np.ndarray]
 
 def refinenet_state_dict_from_variables(variables: Dict) -> Dict[str, np.ndarray]:
     return _state_dict_from_variables(variables, _REFINENET_BLOCKS)
+
+
+def save_lightning_checkpoint(path: str, variables: Dict, kind: str) -> None:
+    """Write Flax variables as a reference-loadable Lightning ``.ckpt``.
+
+    The file round-trips through the reference's
+    ``lModel.load_from_checkpoint`` / ``lRefineNet.load_from_checkpoint``
+    (``src/inference.py:73-84``): torch pickle with a ``state_dict`` whose
+    keys carry the ``model.`` prefix. Enables moving TPU-trained weights back
+    into the torch ecosystem.
+    """
+    import torch
+
+    sd = (detector_state_dict_from_variables(variables) if kind == "detector"
+          else refinenet_state_dict_from_variables(variables))
+    payload = {
+        "state_dict": {
+            f"model.{k}": torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in sd.items()
+        },
+        "pytorch-lightning_version": "2.1.0",
+        "epoch": 0,
+        "global_step": 0,
+    }
+    torch.save(payload, path)

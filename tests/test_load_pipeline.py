@@ -71,3 +71,27 @@ def test_load_pipeline_from_orbax_dir(tmp_path):
     frames = np.zeros((1, 240, 320, 3), np.uint8)
     kp, valid, refined = pipe.detect(frames)
     assert kp.shape == (1, 16, 2)
+
+
+def test_save_lightning_checkpoint_roundtrip(tmp_path):
+    """TPU-trained weights exported back to the reference's .ckpt format must
+    reload identically through the compat path."""
+    from deepcharuco_tpu.compat import save_lightning_checkpoint
+
+    det = Detector(n_ids=CFG.n_ids, dtype=jnp.float32)
+    dv = det.init(jax.random.PRNGKey(7), jnp.zeros((1, 48, 48, 1)))
+    path = str(tmp_path / "export.ckpt")
+    save_lightning_checkpoint(path, dv, "detector")
+
+    pipe = load_pipeline(CFG, path, compute_dtype=jnp.float32)
+    frames = np.random.default_rng(1).integers(0, 255, (1, 240, 320, 3)).astype(np.uint8)
+    kp, valid, refined = pipe.detect(frames)
+
+    from deepcharuco_tpu.pipeline import two_stage_forward
+    import jax as _jax
+
+    ref = _jax.jit(lambda dv, x: two_stage_forward(
+        Detector(n_ids=CFG.n_ids, dtype=jnp.float32), None, dv, None, x, CFG.n_ids
+    ))(dv, jnp.asarray(frames))
+    np.testing.assert_array_equal(kp, np.asarray(ref[0]))
+    np.testing.assert_array_equal(valid, np.asarray(ref[1]))
