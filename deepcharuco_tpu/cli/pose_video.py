@@ -28,6 +28,9 @@ def build_argparser():
     p.add_argument("--fps", type=int, default=30)
     p.add_argument("--cv2-baseline", action="store_true",
                    help="render classical cv2.aruco estimate side-by-side")
+    p.add_argument("--ransac", action="store_true",
+                   help="robust pose: in-jit RANSAC over detections instead "
+                        "of plain least squares")
     return p
 
 
@@ -66,12 +69,29 @@ def main(argv=None):
     if not paths:
         raise SystemExit(f"no *.png frames under {args.input_dir}")
 
+    if args.ransac:
+        import jax
+        import jax.numpy as jnp
+
+        from deepcharuco_tpu.pnp.ransac import solve_pnp_ransac_batch
+
+        ransac_key = jax.random.PRNGKey(0)
+
     frames_out = []
     for i in range(0, len(paths), args.batch):
         chunk = paths[i:i + args.batch]
         imgs = [cv2.imread(p) for p in chunk]
         batch = np.stack(imgs)
-        kp, valid, refined, ok, rvec, tvec, rms = pipe.detect_with_pose(batch)
+        if args.ransac:
+            kp, valid, refined = pipe.detect(batch)
+            ransac_key, sub = jax.random.split(ransac_key)
+            ok, rvec, tvec, rms, _ = solve_pnp_ransac_batch(
+                pipe.object_points, jnp.asarray(refined), jnp.asarray(valid),
+                jnp.asarray(camera.K, jnp.float32),
+                jnp.asarray(camera.dist, jnp.float32), sub)
+            ok, rvec, tvec = np.asarray(ok), np.asarray(rvec), np.asarray(tvec)
+        else:
+            kp, valid, refined, ok, rvec, tvec, rms = pipe.detect_with_pose(batch)
 
         for j, img in enumerate(imgs):
             vis = B.draw_keypoints_with_validity(img, kp[j], valid[j],

@@ -89,9 +89,6 @@ class StreamServer:
         self._jax = jax
         self._pending: Optional[Tuple[List[int], object]] = None
 
-        shapes = {s.name: None for s in self.streams}
-        del shapes
-
     def _gather_batch(self):
         frames, idxs = [], []
         for i, s in enumerate(self.streams):

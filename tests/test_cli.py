@@ -121,3 +121,15 @@ def test_train_refinenet_cli_few_steps(tmp_path, capsys):
           "--ckpt-dir", str(tmp_path / "ckpts")])
     out = capsys.readouterr().out
     assert "best checkpoint" in out
+
+
+def test_pose_video_cli_ransac(tmp_path):
+    from deepcharuco_tpu.cli.pose_video import main
+
+    frames = tmp_path / "frames_r"
+    frames.mkdir()
+    for i in range(2):
+        _board_frame(frames, name=f"f_{i:03d}.png")
+    out = str(tmp_path / "res_r.mp4")
+    main([str(frames), "--out", out, "--batch", "2", "--ransac"])
+    assert os.path.exists(out) and os.path.getsize(out) > 0
