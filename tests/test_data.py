@@ -155,3 +155,46 @@ def test_batch_loader():
     assert batches[0]["image"].shape == (3, 240, 320, 1)
     assert batches[0]["loc"].shape == (3, 30, 40)
     loader.stop()
+
+
+def test_coco_json_source(tmp_path):
+    """Reference dataset indexing format: captions json 'images' list +
+    folder of files (src/data.py:60-69)."""
+    import json
+
+    import cv2
+
+    from deepcharuco_tpu.data import CocoJsonImageSource, open_image_source
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    names = []
+    for i in range(3):
+        name = f"img_{i}.jpg"
+        cv2.imwrite(str(d / name),
+                    np.full((60, 80, 3), 50 + i * 40, np.uint8))
+        names.append({"file_name": name, "id": i})
+    labels = tmp_path / "captions.json"
+    labels.write_text(json.dumps({"images": names}))
+
+    src = CocoJsonImageSource(str(labels), str(d))
+    assert len(src) == 3
+    img = src.get(1)
+    assert img.shape == (60, 80, 3)
+    assert abs(int(img.mean()) - 90) < 3
+
+    # resolver picks the COCO source when both paths exist
+    resolved = open_image_source(str(labels), str(d))
+    assert isinstance(resolved, CocoJsonImageSource)
+
+
+def test_directory_source(tmp_path):
+    import cv2
+
+    from deepcharuco_tpu.data import DirectoryImageSource
+
+    for i in range(2):
+        cv2.imwrite(str(tmp_path / f"f{i}.png"), np.zeros((10, 10, 3), np.uint8))
+    src = DirectoryImageSource(str(tmp_path))
+    assert len(src) == 2
+    assert src.get(5).shape == (10, 10, 3)  # wraps around
