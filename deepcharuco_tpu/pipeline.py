@@ -56,13 +56,20 @@ class Camera:
 
 
 def _to_gray_input(frames: jnp.ndarray) -> jnp.ndarray:
-    """Accept BGR uint8 (N,H,W,3), gray (N,H,W) or (N,H,W,1); return
-    normalized NHWC float32."""
+    """Accept BGR uint8 (N,H,W,3), gray (N,H,W)/(N,H,W,1) in uint8 scale, or
+    already-normalized float gray in [-1, 1]; return normalized NHWC float32.
+
+    The float-in-[-1,1] case (e.g. frames straight from the synthesis
+    pipeline) must NOT be normalized again — double application of
+    ``(g−128)/255`` silently collapses the image to ≈ −0.5.
+    """
     if frames.ndim == 4 and frames.shape[-1] == 3:
         return preprocess_bgr(frames)
-    if frames.ndim == 4 and frames.shape[-1] == 1:
-        return normalize_gray(frames[..., 0])
-    return normalize_gray(frames)
+    g = frames[..., 0] if frames.ndim == 4 else frames
+    if jnp.issubdtype(frames.dtype, jnp.floating):
+        # float gray ⇒ already-normalized contract (dtype decides, statically)
+        return g.astype(jnp.float32)[..., None]
+    return normalize_gray(g)
 
 
 def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
@@ -165,9 +172,16 @@ def variables_to_npz(path: str, variables) -> None:
     trained models in-repo."""
     import jax
 
+    def name_of(entry):
+        k = getattr(entry, "key", None)
+        if isinstance(k, str):
+            return k
+        s = str(entry)
+        return s.strip("[]'\"")
+
     flat = {}
     for kp, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
-        key = "/".join(getattr(k, "key", str(k)) for k in kp)
+        key = "/".join(name_of(k) for k in kp)
         flat[key] = np.asarray(leaf)
     np.savez_compressed(path, **flat)
 
