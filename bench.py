@@ -71,6 +71,10 @@ def main():
     except Exception:
         gray = np.random.default_rng(0).integers(0, 255, (240, 320), np.uint8)
     frames = np.broadcast_to(gray, (batch, 240, 320)).copy()
+    # Unique payload per iteration: identical buffers can be deduped by the
+    # transport (measured 14× inflation), which would turn the "end-to-end"
+    # number into compute-only. A rolled copy per iter defeats any cache.
+    batches = [np.roll(frames, i + 1, axis=2) for i in range(iters)]
 
     for _ in range(warmup):
         out = fused(dv, rv, jnp.asarray(frames))
@@ -78,13 +82,13 @@ def main():
 
     # Double-buffered: device_put is async, so the host→HBM copy of batch
     # N+1 overlaps compute of batch N.
-    x_next = jax.device_put(frames)
+    x_next = jax.device_put(batches[0])
     outs = []
     t0 = time.perf_counter()
     for i in range(iters):
         x = x_next
         if i + 1 < iters:
-            x_next = jax.device_put(frames)
+            x_next = jax.device_put(batches[i + 1])
         outs.append(fused(dv, rv, x))
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0

@@ -11,6 +11,13 @@ Everything is lane-parallel VPU math: argmax/max reductions over the cell
 axis and a one-hot masked sum instead of any dynamic indexing (TPU vector
 units have no cross-lane gather). CPU tests run the same kernel under
 ``interpret=True``.
+
+Measured on v5e (batch 256, 30×40 grid): exact output parity with the jnp
+path, but 5.7× slower (5.1 ms vs 0.9 ms) — the sequential per-image grid
+under-utilizes the VPU where XLA batches the reductions across images. The
+jnp path therefore remains the pipeline default; this kernel is kept as the
+building block for a future fully-fused detector-head+decode kernel (where
+skipping the HBM round-trip of the head logits would dominate).
 """
 
 from __future__ import annotations
@@ -43,18 +50,23 @@ def _decode_kernel(loc_ref, ids_ref, kpts_ref, valid_ref, *, n_ids: int, wc: int
     x_all = (8 * (cell % wc) + loc_pix % 8).astype(jnp.float32)
     y_all = (8 * (cell // wc) + loc_pix // 8).astype(jnp.float32)
 
+    xs, ys, has_all = [], [], []
     for k in range(n_ids):  # static unroll: n_ids lane-parallel reductions
         mine = claim & (ids_arg == k)
         score = jnp.where(mine, conf, _NEG)
         smax = jnp.max(score)
         has = smax > _NEG / 2
         is_best = mine & (score >= smax)
-        # first winner only (deterministic under confidence ties)
-        first = jnp.cumsum(is_best.astype(jnp.int32), axis=0) == 1
-        pick = (is_best & first).astype(jnp.float32)
-        kpts_ref[0, k, 0] = jnp.sum(x_all * pick)
-        kpts_ref[0, k, 1] = jnp.sum(y_all * pick)
-        valid_ref[0, k] = has.astype(jnp.int32)
+        # first winner only (deterministic under confidence ties); cumsum has
+        # no TPU Pallas lowering, so pick the minimum cell index instead
+        best_cell = jnp.min(jnp.where(is_best, cell, m))
+        pick = (is_best & (cell == best_cell)).astype(jnp.float32)
+        xs.append(jnp.sum(x_all * pick))
+        ys.append(jnp.sum(y_all * pick))
+        has_all.append(has.astype(jnp.int32))
+    # vector stores only (scalar VMEM stores are not lowerable on TPU)
+    kpts_ref[0] = jnp.stack([jnp.stack(xs), jnp.stack(ys)], axis=-1)
+    valid_ref[0] = jnp.stack(has_all)[:, None]
 
 
 @partial(jax.jit, static_argnames=("n_ids", "interpret"))
@@ -83,13 +95,15 @@ def pallas_pred_to_keypoints(loc_hat: jnp.ndarray, ids_hat: jnp.ndarray,
         out_specs=[
             pl.BlockSpec((1, n_ids, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_ids), lambda i: (i, 0),
+            # 3-D so the last-two block dims equal the array dims (the TPU
+            # lowering requires (8,128)-divisible or full-dim trailing blocks)
+            pl.BlockSpec((1, n_ids, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, n_ids, 2), jnp.float32),
-            jax.ShapeDtypeStruct((n, n_ids), jnp.int32),
+            jax.ShapeDtypeStruct((n, n_ids, 1), jnp.int32),
         ],
         interpret=interpret,
     )(loc_flat, ids_flat)
-    return kpts, valid.astype(bool)
+    return kpts, valid[..., 0].astype(bool)
