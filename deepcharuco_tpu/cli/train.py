@@ -33,6 +33,10 @@ def build_argparser():
     p.add_argument("--device-synth", action="store_true",
                    help="generate training data ON the TPU inside the train "
                         "jit (procedural backgrounds; host feeds only PRNG keys)")
+    p.add_argument("--fused-steps", type=int, default=1,
+                   help="with --device-synth: lax.scan K synthesis+train steps "
+                        "per dispatch (measured 6.4 vs 4.0 steps/s at K=8 on "
+                        "v5e; ~3.5 min extra compile)")
     p.add_argument("--resume", default=None, help="checkpoint name to resume from")
     p.add_argument("--images", default=None, help="background image dir (else procedural)")
     p.add_argument("--labels", default=None, help="COCO captions json")
@@ -86,10 +90,26 @@ def main(argv=None):
         from deepcharuco_tpu.data.device_synth import DeviceSynthesizer
 
         device_synth = DeviceSynthesizer(cfg)
-        # Two separate jits (synthesis, then step): same device-bound
-        # throughput, far smaller programs to compile than one fused graph.
-        batch_gen = device_synth.batch_fn(bs)
-        device_step = jax.jit(step_fn, donate_argnums=(0,))
+        K = max(1, args.fused_steps)
+        if K > 1:
+            # One dispatch per K steps: synthesis+step scanned inside a
+            # single jit — amortizes the per-call tunnel/dispatch latency.
+            def multi_step(state, key):
+                def body(carry, k):
+                    imgs, loc, ids = jax.vmap(device_synth._sample)(
+                        jax.random.split(k, bs))
+                    st, aux = step_fn(carry, imgs, loc, ids)
+                    return st, aux
+
+                state, auxs = jax.lax.scan(body, state, jax.random.split(key, K))
+                return state, jax.tree.map(lambda a: a[-1], auxs)
+
+            fused_multi = jax.jit(multi_step, donate_argnums=(0,))
+        else:
+            # Two separate jits (synthesis, then step): smaller programs,
+            # much faster first compile.
+            batch_gen = device_synth.batch_fn(bs)
+            device_step = jax.jit(step_fn, donate_argnums=(0,))
         val_batch_fn = device_synth.batch_fn(16)
 
         def feed_gen():
@@ -129,16 +149,24 @@ def main(argv=None):
         if i >= args.steps:
             break
         if device_synth is not None:
-            if i == 0:
-                print("compiling synthesis...", flush=True)
-            images, loc, ids = batch_gen(batch)
-            if i == 0:
-                jax.block_until_ready(images)
-                print("synthesis compiled; compiling train step...", flush=True)
-            state, aux = device_step(state, images, loc, ids)
-            if i == 0:
-                jax.block_until_ready(aux["loss"])
-                print("train step compiled", flush=True)
+            if K > 1:
+                if i == 0:
+                    print(f"compiling fused {K}-step program...", flush=True)
+                state, aux = fused_multi(state, batch)
+                if i == 0:
+                    jax.block_until_ready(aux["loss"])
+                    print("fused program compiled", flush=True)
+            else:
+                if i == 0:
+                    print("compiling synthesis...", flush=True)
+                images, loc, ids = batch_gen(batch)
+                if i == 0:
+                    jax.block_until_ready(images)
+                    print("synthesis compiled; compiling train step...", flush=True)
+                state, aux = device_step(state, images, loc, ids)
+                if i == 0:
+                    jax.block_until_ready(aux["loss"])
+                    print("train step compiled", flush=True)
         else:
             images = batch["image"]
             loc, ids = batch["loc"], batch["ids"]

@@ -133,3 +133,15 @@ def test_pose_video_cli_ransac(tmp_path):
     out = str(tmp_path / "res_r.mp4")
     main([str(frames), "--out", out, "--batch", "2", "--ransac"])
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_train_cli_device_synth_fused(tmp_path, capsys):
+    from deepcharuco_tpu.cli.train import main
+
+    main(["--steps", "1", "--eval-every", "1", "--eval-batches", "1",
+          "--batch-size", "2", "--device-synth", "--fused-steps", "2",
+          "--logdir", str(tmp_path / "logs"),
+          "--ckpt-dir", str(tmp_path / "ckpts")])
+    out = capsys.readouterr().out
+    assert "fused program compiled" in out
+    assert "best checkpoint" in out
