@@ -1,0 +1,90 @@
+"""Real-imagery regression: the shipped weights on the reference's benchmark
+photo (``src/reference/samples_test/IMG_7412.png`` — the frame
+``src/benchmark.py:34-41`` times; the only real photograph in the mount).
+
+This is the reference's headline claim (``README.md:11-22``): the learned
+pipeline detects the board where classical ``cv2.aruco`` fails. Measured on
+this frame with the round-1 shipped weights (CPU backend, f32):
+
+- ours: 12/16 inner corners, all homography-consistent at <= 0.25 px residual;
+- classical ChArUco interpolation: 2 corners;
+- on the one corner both find (id 5): agreement within 0.15 px.
+
+The assertions below lock in a slightly looser floor so the test stays green
+across backends/dtypes while still failing on any real regression.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+REAL_IMG = "/root/reference/src/reference/samples_test/IMG_7412.png"
+DET_W = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                     "detector_devsynth.npz")
+RN_W = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                    "refinenet_devsynth.npz")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(REAL_IMG) and os.path.exists(DET_W)),
+    reason="reference sample photo or shipped weights not present",
+)
+
+
+@pytest.fixture(scope="module")
+def detections():
+    import cv2
+
+    from deepcharuco_tpu.configs import default_config
+    from deepcharuco_tpu.pipeline import load_pipeline
+
+    cfg = default_config()
+    img = cv2.imread(REAL_IMG)
+    assert img is not None and img.shape == (240, 320, 3)
+    pipe = load_pipeline(cfg, DET_W, RN_W)
+    kp, valid, refined = pipe.detect(img[None])
+    return cfg, img, kp[0], valid[0], refined[0]
+
+
+def test_detects_most_corners_on_real_photo(detections):
+    _, _, _, valid, _ = detections
+    assert int(valid.sum()) >= 10  # round-1 weights: 12/16
+
+
+def test_detections_are_homography_consistent(detections):
+    """All detected corners must lie on one projective image of the board
+    grid — the geometric truth test that needs no ground-truth pose."""
+    import cv2
+
+    _, _, _, valid, refined = detections
+    obj = np.array([[(i % 4 + 1), (i // 4 + 1)] for i in range(16)], np.float32)
+    det = np.nonzero(valid)[0]
+    H, mask = cv2.findHomography(obj[det], refined[det], cv2.RANSAC, 3.0)
+    assert H is not None
+    assert int(mask.sum()) == len(det)  # zero outliers
+    proj = cv2.perspectiveTransform(obj.reshape(-1, 1, 2), H).reshape(-1, 2)
+    res = np.linalg.norm(proj[det] - refined[det], axis=1)
+    assert float(res.max()) < 0.75  # measured 0.20 px max
+
+
+def test_beats_classical_charuco_on_real_photo(detections):
+    """The reference's raison d'etre: more corners than classical cv2 on a
+    hard real frame (``README.md:11-22``), agreeing where both detect."""
+    import cv2
+
+    from deepcharuco_tpu import board as B
+
+    cfg, img, _, valid, refined = detections
+    gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+    brd = B.get_board(cfg)
+    if not hasattr(cv2.aruco, "CharucoDetector"):
+        pytest.skip("cv2 too old for CharucoDetector")
+    ch_corners, ch_ids, _, _ = cv2.aruco.CharucoDetector(brd).detectBoard(gray)
+    oracle = {}
+    if ch_ids is not None:
+        oracle = {int(i): c for i, c in
+                  zip(ch_ids.ravel(), ch_corners.reshape(-1, 2))}
+    assert int(valid.sum()) > len(oracle)
+    for i, pos in oracle.items():
+        if valid[i]:
+            assert np.linalg.norm(refined[i] - pos) < 1.0  # measured 0.07 px
