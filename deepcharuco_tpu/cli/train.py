@@ -38,8 +38,25 @@ def build_argparser():
                         "per dispatch (measured 6.4 vs 4.0 steps/s at K=8 on "
                         "v5e; ~3.5 min extra compile)")
     p.add_argument("--resume", default=None, help="checkpoint name to resume from")
+    p.add_argument("--init-npz", default=None,
+                   help="initialize params/batch_stats from a shipped .npz "
+                        "artifact (fresh optimizer; for fine-tuning)")
     p.add_argument("--images", default=None, help="background image dir (else procedural)")
     p.add_argument("--labels", default=None, help="COCO captions json")
+    p.add_argument("--conf-weight", type=float, default=0.0,
+                   help="weight of the ids-head margin-calibration auxiliary "
+                        "loss (0 = reference-parity CE only); kills the "
+                        "wrong-cell decode outliers at the source")
+    p.add_argument("--conf-margin", type=float, default=4.0,
+                   help="logit margin the auxiliary loss enforces")
+    p.add_argument("--mixed-host-every", type=int, default=0,
+                   help="with --device-synth: every Nth dispatch trains on a "
+                        "HOST-pipeline batch (full reference augmentation "
+                        "semantics, cv2) — the mixed diet that closes the "
+                        "device-synth/host distribution gap")
+    p.add_argument("--eval-host-batches", type=int, default=0,
+                   help="additionally evaluate on N host-pipeline val batches "
+                        "per eval (val_host_* scalars)")
     return p
 
 
@@ -75,22 +92,60 @@ def main(argv=None):
                                       input_hw=cfg.input_hw, tx=tx)
     print("model initialized", flush=True)
 
+    if args.init_npz:
+        from deepcharuco_tpu.pipeline import variables_from_npz
+
+        v = variables_from_npz(args.init_npz)
+        state = state.replace(params=v["params"], batch_stats=v["batch_stats"])
+        print(f"initialized weights from {args.init_npz}")
+
     ckpts = CheckpointManager(args.ckpt_dir, top_k=args.top_k)
     if args.resume:
+        from deepcharuco_tpu.train.checkpoints import unflatten_opt_state
+
         restored = ckpts.restore(args.resume)
         state = state.replace(params=restored["params"],
                               batch_stats=restored["batch_stats"])
-        print(f"resumed from {args.resume}")
+        if "opt_state_flat" in restored:
+            # Full-fidelity resume (Lightning resume_from_checkpoint
+            # semantics, ref train.py:42): Adam moments + step continue.
+            state = state.replace(
+                opt_state=unflatten_opt_state(state.opt_state,
+                                              restored["opt_state_flat"]),
+                step=jnp.asarray(restored["step"], jnp.int32))
+            print(f"resumed from {args.resume} at step "
+                  f"{int(restored['step'])} (with optimizer state)")
+        else:
+            print(f"resumed from {args.resume} (params only — old-format "
+                  "checkpoint; Adam moments reset)")
 
-    step_fn = make_detector_train_step(det, tx)
+    step_fn = make_detector_train_step(det, tx, conf_weight=args.conf_weight,
+                                       conf_margin=args.conf_margin)
 
     device_synth = None
     train_loader = None
+    host_feed = None
+    host_val_ds = None
     if args.device_synth:
         from deepcharuco_tpu.data.device_synth import DeviceSynthesizer
 
         device_synth = DeviceSynthesizer(cfg)
         K = max(1, args.fused_steps)
+        # Jitted single-step path: used by K==1 dispatches AND by mixed-diet
+        # host batches (which arrive as arrays, not PRNG keys).
+        device_step = jax.jit(step_fn, donate_argnums=(0,))
+        if args.mixed_host_every > 0 or args.eval_host_batches > 0:
+            host_train_ds = CharucoDataset(cfg, labels=args.labels,
+                                           images_folder=args.images)
+            host_val_ds = CharucoDataset(cfg, labels=args.labels,
+                                         images_folder=args.images,
+                                         validation=True)
+            if args.mixed_host_every > 0:
+                train_loader = BatchLoader(host_train_ds, bs,
+                                           num_workers=workers, seed=0)
+                host_feed = device_prefetch(train_loader, size=2)
+                print(f"mixed diet: 1 host batch per {args.mixed_host_every} "
+                      "dispatches")
         if K > 1:
             # One dispatch per K steps: synthesis+step scanned inside a
             # single jit — amortizes the per-call tunnel/dispatch latency.
@@ -107,9 +162,8 @@ def main(argv=None):
             fused_multi = jax.jit(multi_step, donate_argnums=(0,))
         else:
             # Two separate jits (synthesis, then step): smaller programs,
-            # much faster first compile.
+            # much faster first compile (device_step is jitted above).
             batch_gen = device_synth.batch_fn(bs)
-            device_step = jax.jit(step_fn, donate_argnums=(0,))
         val_batch_fn = device_synth.batch_fn(16)
 
         def feed_gen():
@@ -149,7 +203,12 @@ def main(argv=None):
         if i >= args.steps:
             break
         if device_synth is not None:
-            if K > 1:
+            if host_feed is not None and (i + 1) % args.mixed_host_every == 0:
+                # mixed diet: one host-pipeline (reference-semantics) batch
+                hb = next(host_feed)
+                state, aux = device_step(state, hb["image"], hb["loc"],
+                                         hb["ids"])
+            elif K > 1:
                 if i == 0:
                     print(f"compiling fused {K}-step program...", flush=True)
                 state, aux = fused_multi(state, batch)
@@ -204,6 +263,22 @@ def main(argv=None):
                           val_match_ratio=m["match_ratio"],
                           val_n_pred=m["n_pred"], val_n_target=m["n_target"])
             val_scalars = ev.compute()
+            if host_val_ds is not None and args.eval_host_batches > 0:
+                # Cross-distribution watch: the same weights scored on the
+                # HOST (reference-semantics cv2) validation stream.
+                hv = MeanAccumulator()
+                for j in range(args.eval_host_batches):
+                    items = [host_val_ds[j * 16 + k] for k in range(16)]
+                    vb = {k: np.stack([it[k] for it in items]) for k in items[0]}
+                    aux_v, out = eval_fn(state, jnp.asarray(vb["image"]),
+                                         jnp.asarray(vb["loc"]),
+                                         jnp.asarray(vb["ids"]))
+                    m = metrics_fn(out, jnp.asarray(vb["loc"]),
+                                   jnp.asarray(vb["ids"]))
+                    hv.update(val_host_loss=aux_v["loss"],
+                              val_host_l2_pixels=m["l2_pixels"],
+                              val_host_match_ratio=m["match_ratio"])
+                val_scalars.update(hv.compute())
             sps = args.eval_every / (time.time() - t0)
             t0 = time.time()
             logger.log(i + 1, {**train_scalars, **val_scalars,
@@ -214,13 +289,19 @@ def main(argv=None):
                   f"match={val_scalars['val_match_ratio']:.3f} "
                   f"pred/tgt={val_scalars['val_n_pred']:.1f}/"
                   f"{val_scalars['val_n_target']:.1f} "
-                  f"({sps:.1f} steps/s)", flush=True)
+                  + (f"host_match={val_scalars['val_host_match_ratio']:.3f} "
+                     if "val_host_match_ratio" in val_scalars else "")
+                  + f"({sps:.1f} steps/s)", flush=True)
+            from deepcharuco_tpu.train.checkpoints import flatten_opt_state
+
             save_state = state
             if mesh is not None:
                 save_state = jax.tree.map(np.asarray, state)
             ckpts.save(f"step_{i+1:07d}",
                        {"params": save_state.params,
-                        "batch_stats": save_state.batch_stats},
+                        "batch_stats": save_state.batch_stats,
+                        "opt_state_flat": flatten_opt_state(save_state.opt_state),
+                        "step": np.asarray(save_state.step)},
                        metric=val_scalars["val_loss"])
     if train_loader is not None:
         train_loader.stop()

@@ -28,6 +28,9 @@ def build_argparser():
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument("--num-workers", type=int, default=None)
     p.add_argument("--resume", default=None)
+    p.add_argument("--init-npz", default=None,
+                   help="initialize params/batch_stats from a shipped .npz "
+                        "artifact (fresh optimizer; for fine-tuning)")
     p.add_argument("--images", default=None)
     p.add_argument("--labels", default=None)
     p.add_argument("--device-synth", action="store_true",
@@ -70,11 +73,27 @@ def main(argv=None):
     tx = optax.adam(args.lr)
     tx, state = create_refinenet_state(rn, jax.random.PRNGKey(0), tx=tx)
 
+    if args.init_npz:
+        from deepcharuco_tpu.pipeline import variables_from_npz
+
+        v = variables_from_npz(args.init_npz)
+        state = state.replace(params=v["params"], batch_stats=v["batch_stats"])
+        print(f"initialized weights from {args.init_npz}")
+
     ckpts = CheckpointManager(args.ckpt_dir, top_k=args.top_k)
     if args.resume:
+        from deepcharuco_tpu.train.checkpoints import unflatten_opt_state
+
         restored = ckpts.restore(args.resume)
         state = state.replace(params=restored["params"],
                               batch_stats=restored["batch_stats"])
+        if "opt_state_flat" in restored:
+            state = state.replace(
+                opt_state=unflatten_opt_state(state.opt_state,
+                                              restored["opt_state_flat"]),
+                step=jnp.asarray(restored["step"], jnp.int32))
+            print(f"resumed from {args.resume} at step "
+                  f"{int(restored['step'])} (with optimizer state)")
 
     device_synth = None
     loader = None
@@ -155,8 +174,12 @@ def main(argv=None):
                   f"val={val_scalars['val_refinenet_loss']:.5f} "
                   f"val_dist={val_scalars['val_dist_refinenet_pixels']:.2f}px(8x) "
                   f"({sps:.1f} steps/s)")
+            from deepcharuco_tpu.train.checkpoints import flatten_opt_state
+
             ckpts.save(f"step_{i+1:07d}",
-                       {"params": state.params, "batch_stats": state.batch_stats},
+                       {"params": state.params, "batch_stats": state.batch_stats,
+                        "opt_state_flat": flatten_opt_state(state.opt_state),
+                        "step": np.asarray(state.step)},
                        metric=val_scalars["val_refinenet_loss"])
     if loader is not None:
         loader.stop()

@@ -25,6 +25,31 @@ def _to_numpy_tree(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def flatten_opt_state(opt_state) -> Dict[str, np.ndarray]:
+    """Serialize an optax state pytree (NamedTuples etc.) as a flat dict of
+    arrays keyed by leaf index — the form orbax round-trips losslessly.
+
+    Lightning checkpoints carry optimizer state and ``resume_from_checkpoint``
+    restores it (ref ``src/train.py:42``); this is the equivalent for optax
+    states, whose NamedTuple containers would otherwise come back from orbax
+    as plain dicts with a different treedef.
+    """
+    leaves = jax.tree.leaves(opt_state)
+    return {f"{i:05d}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+
+
+def unflatten_opt_state(template, flat: Dict[str, np.ndarray]):
+    """Inverse of :func:`flatten_opt_state` given a freshly-initialized
+    ``template`` state with the same structure (e.g. ``tx.init(params)``)."""
+    treedef = jax.tree.structure(template)
+    leaves = [np.asarray(flat[k]) for k in sorted(flat)]
+    assert len(leaves) == treedef.num_leaves, (
+        f"checkpointed opt state has {len(leaves)} leaves, "
+        f"optimizer expects {treedef.num_leaves}"
+    )
+    return jax.tree.unflatten(treedef, leaves)
+
+
 class CheckpointManager:
     """Top-k checkpoint retention keyed by a monitored scalar (lower=better)."""
 

@@ -67,9 +67,23 @@ def create_refinenet_state(rn: RefineNet, rng,
 # ---------------------------------------------------------------------------
 
 def detector_loss_fn(det: Detector, params, batch_stats, images, loc_labels,
-                     ids_labels, train: bool = True):
+                     ids_labels, train: bool = True,
+                     conf_weight: float = 0.0, conf_margin: float = 4.0):
     """CE(loc) + CE(ids); labels are (N, Hc, Wc) int maps (ref net.py:148-153,
-    label construction data.py:14-51). Returns (loss, (aux, new_batch_stats))."""
+    label construction data.py:14-51). Returns (loss, (aux, new_batch_stats)).
+
+    ``conf_weight > 0`` adds a margin-calibration auxiliary on the ids head,
+    targeting the decode's one failure mode the plain CE leaves open: a
+    *background* cell whose best id logit beats its dustbin logit wins the
+    per-id argmax whenever the true cell misses, producing a wrong-cell
+    outlier tens of px away (1.7% of detections in round 1). The hinge pushes
+    every background cell's best id logit at least ``conf_margin`` under its
+    dustbin logit, and every corner cell's true logit at least ``conf_margin``
+    over its best rival — so the reference-parity decode (``min_margin=None``)
+    is clean at the source instead of filtered after the fact. CE saturates
+    and stops ordering logits long before this hinge is satisfied, which is
+    why the outliers survive CE-only training.
+    """
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
         out, mutated = det.apply(variables, images, train=True,
@@ -86,6 +100,23 @@ def detector_loss_fn(det: Detector, params, batch_stats, images, loc_labels,
     ).mean()
     loss = loss_loc + loss_ids
     aux = {"loss": loss, "loss_loc": loss_loc, "loss_ids": loss_ids}
+    if conf_weight > 0.0:
+        ids_hat = out["ids"]                      # (N, Hc, Wc, n_ids+1)
+        n_ids = ids_hat.shape[-1] - 1
+        dust = ids_hat[..., n_ids]
+        best_id = jnp.max(ids_hat[..., :n_ids], axis=-1)
+        is_bg = ids_labels == n_ids
+        # background: best id logit must trail dustbin by >= margin
+        bg_viol = jax.nn.relu(best_id - dust + conf_margin)
+        # corner cell: true id logit must lead every rival by >= margin
+        true_logit = jnp.take_along_axis(
+            ids_hat, ids_labels[..., None], axis=-1)[..., 0]
+        onehot = jax.nn.one_hot(ids_labels, n_ids + 1, dtype=ids_hat.dtype)
+        rival = jnp.max(ids_hat - onehot * jnp.float32(1e9), axis=-1)
+        fg_viol = jax.nn.relu(rival - true_logit + conf_margin)
+        loss_conf = jnp.mean(jnp.where(is_bg, bg_viol, fg_viol))
+        loss = loss + conf_weight * loss_conf
+        aux = {**aux, "loss": loss, "loss_conf": loss_conf}
     return loss, (aux, new_stats, out)
 
 
@@ -111,11 +142,15 @@ def refinenet_loss_fn(rn: RefineNet, params, batch_stats, patches, heatmaps,
 # ---------------------------------------------------------------------------
 
 def make_detector_train_step(det: Detector,
-                             tx: optax.GradientTransformation) -> Callable:
+                             tx: optax.GradientTransformation,
+                             conf_weight: float = 0.0,
+                             conf_margin: float = 4.0) -> Callable:
     def step(state: TrainState, images, loc_labels, ids_labels):
         (loss, (aux, new_stats, _)), grads = jax.value_and_grad(
             lambda p: detector_loss_fn(det, p, state.batch_stats, images,
-                                       loc_labels, ids_labels),
+                                       loc_labels, ids_labels,
+                                       conf_weight=conf_weight,
+                                       conf_margin=conf_margin),
             has_aux=True,
         )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

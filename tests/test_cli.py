@@ -135,6 +135,37 @@ def test_pose_video_cli_ransac(tmp_path):
     assert os.path.exists(out) and os.path.getsize(out) > 0
 
 
+def test_train_cli_mixed_diet(tmp_path, capsys):
+    """Device-synth training with a host-pipeline batch every 2nd dispatch
+    plus host-stream validation scalars (the round-2 mixed diet)."""
+    from deepcharuco_tpu.cli.train import main
+
+    main(["--steps", "2", "--eval-every", "2", "--eval-batches", "1",
+          "--batch-size", "2", "--device-synth", "--mixed-host-every", "2",
+          "--eval-host-batches", "1", "--num-workers", "1",
+          "--conf-weight", "0.3",
+          "--logdir", str(tmp_path / "logs"),
+          "--ckpt-dir", str(tmp_path / "ckpts")])
+    out = capsys.readouterr().out
+    assert "mixed diet" in out
+    assert "host_match=" in out
+    assert "best checkpoint" in out
+
+
+def test_train_cli_resume_full_fidelity(tmp_path, capsys):
+    """--resume restores optimizer state + step from a new-format checkpoint."""
+    from deepcharuco_tpu.cli.train import main
+
+    common = ["--eval-batches", "1", "--batch-size", "2", "--device-synth",
+              "--logdir", str(tmp_path / "logs"),
+              "--ckpt-dir", str(tmp_path / "ckpts")]
+    main(["--steps", "2", "--eval-every", "2", *common])
+    main(["--steps", "1", "--eval-every", "1", "--resume", "step_0000002",
+          *common])
+    out = capsys.readouterr().out
+    assert "with optimizer state" in out
+
+
 def test_train_cli_device_synth_fused(tmp_path, capsys):
     from deepcharuco_tpu.cli.train import main
 
