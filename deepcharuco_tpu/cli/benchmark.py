@@ -25,6 +25,10 @@ def build_argparser():
     p.add_argument("--image", default=None, help="benchmark frame (else board render)")
     p.add_argument("--breakdown", action="store_true",
                    help="also time detector-only and two-stage separately")
+    p.add_argument("--fused-head", action="store_true",
+                   help="A/B the detector→keypoints stage: XLA heads + jnp "
+                        "decode vs the fused Pallas head+decode kernel "
+                        "(ops/pallas_fused.py); checks output agreement")
     return p
 
 
@@ -116,6 +120,41 @@ def main(argv=None):
         two = jax.jit(lambda dv, rv, x: two_stage_forward(det, rn, dv, rv, x, cfg.n_ids))
         dt_2 = _time_fn(two, (dv, rv, x), args.iters, args.warmup)
         print(f"two-stage: {args.batch * args.iters / dt_2:.1f} fps")
+
+    if args.fused_head:
+        from deepcharuco_tpu.ops import normalize_gray
+        from deepcharuco_tpu.ops.decode import pred_to_keypoints
+        from deepcharuco_tpu.ops.pallas_fused import (
+            fold_head_params,
+            pallas_fused_head_decode,
+        )
+
+        host_dv = jax.tree.map(np.asarray, dv)
+        folded = jax.device_put(fold_head_params(host_dv, cfg.n_ids))
+
+        def xla_path(dv, x):
+            out = det.apply(dv, normalize_gray(x))
+            return pred_to_keypoints(out["loc"], out["ids"], cfg.n_ids)
+
+        def fused_path(dv, folded, x):
+            trunk = det.apply(dv, normalize_gray(x), trunk_only=True)["trunk"]
+            return pallas_fused_head_decode(trunk, folded, cfg.n_ids)
+
+        xla_fn = jax.jit(xla_path)
+        fused_fn = jax.jit(fused_path)
+        kx, vx = jax.tree.map(np.asarray, xla_fn(dv, x))
+        kf, vf = jax.tree.map(np.asarray, fused_fn(dv, folded, x))
+        both = vx & vf
+        agree_valid = float((vx == vf).mean())
+        agree_kpts = float((np.abs(kx - kf).max(-1)[both] < 1e-6).mean()) \
+            if both.any() else 1.0
+        dt_x = _time_fn(xla_fn, (dv, x), args.iters, args.warmup)
+        dt_f = _time_fn(fused_fn, (dv, folded, x), args.iters, args.warmup)
+        print(f"detector→keypoints XLA:   {args.batch * args.iters / dt_x:.1f} fps "
+              f"({dt_x / args.iters * 1000:.2f} ms/batch)")
+        print(f"detector→keypoints fused: {args.batch * args.iters / dt_f:.1f} fps "
+              f"({dt_f / args.iters * 1000:.2f} ms/batch)")
+        print(f"agreement: valid {agree_valid:.4f}, coords(valid∩) {agree_kpts:.4f}")
 
 
 if __name__ == "__main__":

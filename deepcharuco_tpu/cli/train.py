@@ -29,7 +29,12 @@ def build_argparser():
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument("--num-workers", type=int, default=None)
     p.add_argument("--data-parallel", action="store_true",
-                   help="shard the batch over all local devices")
+                   help="shard the batch over all local devices (composes "
+                        "with --device-synth: per-sample PRNG keys shard over "
+                        "'data' so each chip synthesizes its own sub-batch)")
+    p.add_argument("--mesh-spatial", type=int, default=1,
+                   help="with --data-parallel: devices along the 'spatial' "
+                        "mesh axis (image-height sharding of the conv fwd/bwd)")
     p.add_argument("--device-synth", action="store_true",
                    help="generate training data ON the TPU inside the train "
                         "jit (procedural backgrounds; host feeds only PRNG keys)")
@@ -122,6 +127,15 @@ def main(argv=None):
     step_fn = make_detector_train_step(det, tx, conf_weight=args.conf_weight,
                                        conf_margin=args.conf_margin)
 
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        n_sp = max(1, args.mesh_spatial)
+        mesh = make_mesh(n_data=len(jax.devices()) // n_sp, n_spatial=n_sp)
+        state = replicate(mesh, state)
+        print(f"data-parallel over {len(jax.devices())} devices "
+              f"(mesh {mesh.shape['data']}x{mesh.shape['spatial']} "
+              "data×spatial)")
+
     device_synth = None
     train_loader = None
     host_feed = None
@@ -132,8 +146,14 @@ def main(argv=None):
         device_synth = DeviceSynthesizer(cfg)
         K = max(1, args.fused_steps)
         # Jitted single-step path: used by K==1 dispatches AND by mixed-diet
-        # host batches (which arrive as arrays, not PRNG keys).
-        device_step = jax.jit(step_fn, donate_argnums=(0,))
+        # host batches (which arrive as arrays, not PRNG keys). Under a mesh
+        # the host batch is sharded over 'data' like everything else.
+        if mesh is not None:
+            from deepcharuco_tpu.parallel import sharded_synth_train_program
+
+            device_step = sharded_train_step(step_fn, mesh)
+        else:
+            device_step = jax.jit(step_fn, donate_argnums=(0,))
         if args.mixed_host_every > 0 or args.eval_host_batches > 0:
             host_train_ds = CharucoDataset(cfg, labels=args.labels,
                                            images_folder=args.images)
@@ -146,7 +166,14 @@ def main(argv=None):
                 host_feed = device_prefetch(train_loader, size=2)
                 print(f"mixed diet: 1 host batch per {args.mixed_host_every} "
                       "dispatches")
-        if K > 1:
+        use_fused = K > 1 or mesh is not None
+        if mesh is not None:
+            # Flagship multi-chip mode: synthesis+step(s) in one program,
+            # per-sample keys sharded over 'data' — each chip synthesizes
+            # its own sub-batch (see parallel.sharded_synth_train_program).
+            fused_multi = sharded_synth_train_program(
+                step_fn, device_synth._sample, mesh, bs, fused_steps=K)
+        elif K > 1:
             # One dispatch per K steps: synthesis+step scanned inside a
             # single jit — amortizes the per-call tunnel/dispatch latency.
             def multi_step(state, key):
@@ -187,12 +214,8 @@ def main(argv=None):
                                                cfg.n_ids)
     )
 
-    mesh = None
-    if args.data_parallel and len(jax.devices()) > 1:
-        mesh = make_mesh(n_data=len(jax.devices()), n_spatial=1)
-        state = replicate(mesh, state)
+    if mesh is not None:
         step = sharded_train_step(step_fn, mesh)
-        print(f"data-parallel over {len(jax.devices())} devices")
     else:
         step = jax.jit(step_fn, donate_argnums=(0,))
 
@@ -206,9 +229,11 @@ def main(argv=None):
             if host_feed is not None and (i + 1) % args.mixed_host_every == 0:
                 # mixed diet: one host-pipeline (reference-semantics) batch
                 hb = next(host_feed)
-                state, aux = device_step(state, hb["image"], hb["loc"],
-                                         hb["ids"])
-            elif K > 1:
+                hb_arrays = (hb["image"], hb["loc"], hb["ids"])
+                if mesh is not None:
+                    hb_arrays = shard_batch(mesh, hb_arrays)
+                state, aux = device_step(state, *hb_arrays)
+            elif use_fused:
                 if i == 0:
                     print(f"compiling fused {K}-step program...", flush=True)
                 state, aux = fused_multi(state, batch)

@@ -40,6 +40,11 @@ def build_argparser():
                    help="with --device-synth: crop patches from full synthetic "
                         "frames via the inference-time extract_patches gather "
                         "(zero train/test distribution gap)")
+    p.add_argument("--rounded-targets", action="store_true",
+                   help="quantize heatmap targets to the 1/8-px grid "
+                        "(reference parity, data_refinenet.py:84-91); default "
+                        "is continuous sub-pixel Gaussian centers for the "
+                        "soft-argmax decode")
     return p
 
 
@@ -103,8 +108,10 @@ def main(argv=None):
             FramePatchSynthesizer,
         )
 
-        device_synth = (FramePatchSynthesizer(cfg) if args.frame_patches
-                        else DeviceRefineSynthesizer(cfg))
+        cont = not args.rounded_targets
+        device_synth = (FramePatchSynthesizer(cfg, continuous_targets=cont)
+                        if args.frame_patches
+                        else DeviceRefineSynthesizer(cfg, continuous_targets=cont))
         batch_gen = device_synth.batch_fn(bs_patches)
         val_batch_fn = device_synth.batch_fn(32)
 

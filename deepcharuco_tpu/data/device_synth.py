@@ -307,12 +307,17 @@ class FramePatchSynthesizer:
     """
 
     def __init__(self, config: Config, jitter_px: float = 3.0,
-                 per_frame: int = 8):
+                 per_frame: int = 8, continuous_targets: bool = True):
         self.inner = DeviceSynthesizer(config, negative_p=0.0)
         self.hw = config.input_hw
         self.n_ids = config.n_ids
         self.jitter = jitter_px
         self.per_frame = per_frame  # ≙ reference total=8 patches per image
+        # Continuous (non-rounded) Gaussian centers: the target peak sits at
+        # the exact sub-pixel corner, so the soft-argmax decode is unbiased.
+        # The reference rounds to the 1/8-px grid (data_refinenet.py:84-91),
+        # baking up to 1/16 px of quantization into every label.
+        self.continuous = continuous_targets
 
     def _sample(self, key):
         """One frame → (per_frame, 24, 24, 1) patches + (per_frame, 64, 64, 1)
@@ -338,8 +343,10 @@ class FramePatchSynthesizer:
         patches = extract_patches(img[None, ..., 0], center[None])[0]  # (P,24,24)
 
         hp = (p - center) * 8.0 + 32.0                     # (per_frame, 2)
-        hx = jnp.clip(jnp.round(hp[:, 0]), 0, 63)[:, None, None]
-        hy = jnp.clip(jnp.round(hp[:, 1]), 0, 63)[:, None, None]
+        if not self.continuous:
+            hp = jnp.round(hp)  # reference 1/8-px grid quantization
+        hx = jnp.clip(hp[:, 0], 0, 63)[:, None, None]
+        hy = jnp.clip(hp[:, 1], 0, 63)[:, None, None]
         gy = jnp.arange(64, dtype=jnp.float32)[None, :, None]
         gx = jnp.arange(64, dtype=jnp.float32)[None, None, :]
         expo = ((gx - hx) ** 2 + (gy - hy) ** 2) / 8.0
@@ -371,13 +378,15 @@ class DeviceRefineSynthesizer:
 
     Emits (patches (B,24,24,1), heatmaps (B,64,64,1)). The corner's exact
     sub-pixel position is known from the warp, so the heatmap target is
-    placed at ``round((p − c)·8 + 32)`` — consistent with the inference
-    mapping ``refined = (argmax − 32)/8 + c``
-    (``src/models/refinenet.py:111-114``) and free of the reference's
-    cornerSubPix approximation.
+    placed at the *continuous* ``(p − c)·8 + 32`` (no grid rounding) —
+    consistent with the soft-argmax inference mapping
+    ``refined = (softargmax − 32)/8 + c`` (``src/models/refinenet.py:111-114``
+    rounds to the 1/8-px grid instead) and free of the reference's
+    cornerSubPix approximation. ``continuous_targets=False`` restores the
+    reference's quantized labels.
     """
 
-    def __init__(self, config: Config):
+    def __init__(self, config: Config, continuous_targets: bool = True):
         # Reuse the detector synthesizer at 2× render resolution for sharper
         # source pixels (the reference renders RefineNet data at 2×,
         # data_refinenet.py:97-100).
@@ -388,6 +397,7 @@ class DeviceRefineSynthesizer:
         self.inner = DeviceSynthesizer(big, negative_p=0.0, refinenet_ranges=True)
         self.hw = big.input_hw
         self.n_ids = config.n_ids
+        self.continuous = continuous_targets  # see FramePatchSynthesizer
 
     def _sample(self, key):
         h, w = self.hw
@@ -425,8 +435,10 @@ class DeviceRefineSynthesizer:
 
         # heatmap target at (p/2 − center)·8 + 32 on the 64×64 grid
         hp = (p / 2.0 - center) * 8.0 + 32.0
-        hx = jnp.clip(jnp.round(hp[0]), 0, 63)
-        hy = jnp.clip(jnp.round(hp[1]), 0, 63)
+        if not self.continuous:
+            hp = jnp.round(hp)
+        hx = jnp.clip(hp[0], 0, 63)
+        hy = jnp.clip(hp[1], 0, 63)
         gy = jnp.arange(64, dtype=jnp.float32)[:, None]
         gx = jnp.arange(64, dtype=jnp.float32)[None, :]
         d2 = (gx - hx) ** 2 + (gy - hy) ** 2

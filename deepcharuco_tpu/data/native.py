@@ -63,11 +63,6 @@ def load() -> Optional[ctypes.CDLL]:
         ]
         lib.dc_box_blur.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                     _u8p, _u8p]
-        lib.dc_create_label.argtypes = [
-            ctypes.c_uint64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            _f32p, _i32p, ctypes.c_int, ctypes.c_int, _i32p, _i32p,
-        ]
-        lib.dc_gray_normalize.argtypes = [ctypes.c_int, ctypes.c_int, _u8p, _f32p]
         _lib = lib
         return _lib
 
@@ -105,22 +100,3 @@ def composite_photometric(seed: int, board: np.ndarray, mask: np.ndarray,
     return out
 
 
-def create_label(seed: int, shape_hw, keypoints: np.ndarray, kpt_ids: np.ndarray,
-                 is_negative: bool, dust_bin_ids: int):
-    lib = load()
-    h, w = shape_hw
-    loc = np.empty((h // 8, w // 8), np.int32)
-    ids = np.empty((h // 8, w // 8), np.int32)
-    kp = np.ascontiguousarray(keypoints.astype(np.float32).reshape(-1, 2))
-    ki = np.ascontiguousarray(np.asarray(kpt_ids, np.int32))
-    lib.dc_create_label(seed & (2**64 - 1), h, w, dust_bin_ids, kp, ki,
-                        len(ki), int(is_negative), loc, ids)
-    return loc, ids
-
-
-def gray_normalize(bgr: np.ndarray) -> np.ndarray:
-    lib = load()
-    h, w = bgr.shape[:2]
-    out = np.empty((h, w), np.float32)
-    lib.dc_gray_normalize(h, w, np.ascontiguousarray(bgr), out)
-    return out

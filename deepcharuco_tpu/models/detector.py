@@ -70,7 +70,7 @@ class Detector(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, trunk_only: bool = False):
         c1, c2, c3, c4, c5 = 64, 64, 128, 128, 256
         dt = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
@@ -87,6 +87,10 @@ class Detector(nn.Module):
         x = _pool(x)
         x = ConvBNRelu(c4, name="conv4a", **dt)(x, train)
         x = ConvBNRelu(c4, name="conv4b", **dt)(x, train)
+        if trunk_only:
+            # Shared features for the fused Pallas head+decode kernel
+            # (ops/pallas_fused.py); heads are skipped entirely.
+            return {"trunk": x}
 
         # loc head (ref net.py:73-75): 65 = 64 sub-cell positions + dustbin.
         p = ConvBNRelu(c5, name="convPa", **dt)(x, train)

@@ -13,11 +13,14 @@ units have no cross-lane gather). CPU tests run the same kernel under
 ``interpret=True``.
 
 Measured on v5e (batch 256, 30×40 grid): exact output parity with the jnp
-path, but 5.7× slower (5.1 ms vs 0.9 ms) — the sequential per-image grid
-under-utilizes the VPU where XLA batches the reductions across images. The
-jnp path therefore remains the pipeline default; this kernel is kept as the
-building block for a future fully-fused detector-head+decode kernel (where
-skipping the HBM round-trip of the head logits would dominate).
+path, but 5.7× slower (5.1 ms vs 0.9 ms) — the per-id static unroll here
+reduces (cells, 1) columns, using 1 of 128 VPU lanes, and the sequential
+per-image grid under-utilizes the VPU where XLA batches the reductions
+across images. The jnp path remains the pipeline default. The successor
+kernel — :mod:`deepcharuco_tpu.ops.pallas_fused` — fixes the lane waste
+(decode vectorized over ids in the lane dim) AND fuses the detector heads
+in, so the logits never round-trip HBM; see its docstring and
+``cli/benchmark.py --fused-head`` for the A/B measurement.
 """
 
 from __future__ import annotations

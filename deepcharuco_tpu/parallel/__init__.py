@@ -4,6 +4,7 @@ from deepcharuco_tpu.parallel.mesh import (
     shard_frames,
     replicate,
     sharded_train_step,
+    sharded_synth_train_program,
     sharded_inference,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "shard_frames",
     "replicate",
     "sharded_train_step",
+    "sharded_synth_train_program",
     "sharded_inference",
 ]

@@ -59,16 +59,31 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def sharded_inference(fn, mesh: Mesh):
+def sharded_inference(fn, mesh: Mesh, frames_argnum: int = -1):
     """Jit an inference program for the mesh with frames sharded over
     ('data', 'spatial') on (batch, height).
 
     For large frames this is the spatial analogue of sequence parallelism:
-    XLA inserts conv halo exchanges over ICI from the input sharding alone.
-    The returned callable takes the frame batch (N, H, W[, C]) already placed
-    (or places it itself via the committed sharding on first use).
+    XLA inserts conv halo exchanges over ICI from the frame sharding. The
+    frame batch (argument ``frames_argnum``, default last) is *constrained*
+    to the mesh inside the program — compute is partitioned even if the
+    caller passed an unplaced (single-device) array.
     """
-    return jax.jit(fn, out_shardings=None)
+
+    def constrained(*args):
+        args = list(args)
+        frames = args[frames_argnum]
+        spec = [None] * frames.ndim
+        if frames.shape[0] % mesh.shape["data"] == 0:
+            spec[0] = "data"
+        if (mesh.shape["spatial"] > 1 and frames.ndim > 1
+                and frames.shape[1] % mesh.shape["spatial"] == 0):
+            spec[1] = "spatial"
+        args[frames_argnum] = jax.lax.with_sharding_constraint(
+            frames, NamedSharding(mesh, P(*spec)))
+        return fn(*args)
+
+    return jax.jit(constrained)
 
 
 def shard_frames(mesh: Mesh, frames):
@@ -79,6 +94,60 @@ def shard_frames(mesh: Mesh, frames):
     if mesh.shape["spatial"] > 1 and frames.shape[1] % mesh.shape["spatial"] == 0:
         spec[1] = "spatial"
     return jax.device_put(frames, NamedSharding(mesh, P(*spec)))
+
+
+def sharded_synth_train_program(step_fn, sample_fn, mesh: Mesh,
+                                batch_size: int, fused_steps: int = 1,
+                                spatial_dim: int = 1):
+    """The flagship multi-chip training program: ON-DEVICE synthesis + train
+    step(s), fused in ONE jit over the ('data', 'spatial') mesh.
+
+    The host feeds a single PRNG key per dispatch. Inside the program the key
+    splits into per-sample keys *sharded over 'data'* — each device
+    synthesizes only its own sub-batch (no host bottleneck, no cross-chip
+    traffic for data). The synthesized image batch is further constrained
+    over ('data', 'spatial') on (batch, height) so XLA partitions the
+    synthesis pixel math and the conv forward/backward spatially (halo
+    exchanges over ICI), and the replicated-state output sharding makes it
+    insert the gradient all-reduce. With ``fused_steps=K`` the whole
+    synthesis+step pair is ``lax.scan``-ned K times per dispatch, amortizing
+    tunnel/dispatch latency (measured 6.4 vs 4.0 steps/s at K=8 single-chip).
+
+    ``sample_fn``: key → tuple of per-sample arrays (e.g. (image, loc, ids)
+    or (patch, heat)); the first element is treated as image-like and gets
+    the spatial constraint. ``step_fn``: (state, *batch) → (state, aux).
+    """
+    state_sharding = NamedSharding(mesh, P())
+    data_sharding = NamedSharding(mesh, P("data"))
+
+    def constrain(batch):
+        out = []
+        for i, x in enumerate(batch):
+            spec = [None] * x.ndim
+            spec[0] = "data"
+            if (i == 0 and mesh.shape["spatial"] > 1 and x.ndim > spatial_dim
+                    and x.shape[spatial_dim] % mesh.shape["spatial"] == 0):
+                spec[spatial_dim] = "spatial"
+            out.append(jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(*spec))))
+        return tuple(out)
+
+    def one_step(state, key):
+        keys = jax.random.split(key, batch_size)
+        keys = jax.lax.with_sharding_constraint(keys, data_sharding)
+        batch = constrain(jax.vmap(sample_fn)(keys))
+        return step_fn(state, *batch)
+
+    if fused_steps <= 1:
+        program = one_step
+    else:
+        def program(state, key):
+            state, auxs = jax.lax.scan(one_step, state,
+                                       jax.random.split(key, fused_steps))
+            return state, jax.tree.map(lambda a: a[-1], auxs)
+
+    return jax.jit(program, out_shardings=(state_sharding, None),
+                   donate_argnums=(0,))
 
 
 def sharded_train_step(step_fn, mesh: Mesh):

@@ -49,10 +49,13 @@ class Camera:
         """Load the reference's ``camera_params.npz`` format
         (``src/pose_estimation.py:35-37``)."""
         data = np.load(path)
-        return cls(
-            K=np.asarray(data["camera_matrix"], np.float32),
-            dist=np.asarray(data["distortion_coeffs"], np.float32).ravel()[:5],
-        )
+        raw = np.asarray(data["distortion_coeffs"], np.float32).ravel()[:5]
+        # cv2 legally emits 4, 5, 8, 12 or 14 coeffs; the projection model
+        # uses [k1, k2, p1, p2, k3] — zero-pad short vectors so dist[4] is
+        # always valid inside the jit.
+        dist = np.zeros(5, np.float32)
+        dist[: raw.size] = raw
+        return cls(K=np.asarray(data["camera_matrix"], np.float32), dist=dist)
 
 
 def _to_gray_input(frames: jnp.ndarray) -> jnp.ndarray:

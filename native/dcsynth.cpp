@@ -210,38 +210,5 @@ void dc_box_blur(int h, int w, int r, uint8_t* img, uint8_t* scratch) {
     }
 }
 
-// ----------------------------------------------------------- label build --
-// Detector label maps (create_label semantics, src/data.py:14-51): loc/ids
-// int32 maps of shape (h/8, w/8); 50% collision swap driven by the seed.
-// keypoints: n*2 float32 (x, y); ids: n int32.
-void dc_create_label(uint64_t seed, int h, int w, int dust_bin_ids,
-                     const float* keypoints, const int32_t* kpt_ids, int n,
-                     int is_negative, int32_t* loc, int32_t* ids) {
-    const int hc = h / 8, wc = w / 8;
-    for (int i = 0; i < hc * wc; i++) { loc[i] = 64; ids[i] = dust_bin_ids; }
-    if (is_negative) return;
-    Rng rng(seed);
-    for (int i = 0; i < n; i++) {
-        const float kx = keypoints[i * 2], ky = keypoints[i * 2 + 1];
-        int cx = (int)(kx / 8.0f), cy = (int)(ky / 8.0f);
-        cx = std::min(wc - 1, std::max(0, cx));
-        cy = std::min(hc - 1, std::max(0, cy));
-        const int cell = cy * wc + cx;
-        if (ids[cell] != dust_bin_ids && rng.uniform() > 0.5) continue;
-        loc[cell] = ((int)kx % 8) + 8 * ((int)ky % 8);
-        ids[cell] = kpt_ids[i];
-    }
-}
-
-// ------------------------------------------------------ gray + normalize --
-// BGR uint8 -> normalized grayscale float32 ((g-128)/255), BT.601 weights.
-void dc_gray_normalize(int h, int w, const uint8_t* bgr, float* out) {
-    const int n = h * w;
-    for (int i = 0; i < n; i++) {
-        const uint8_t* px = bgr + i * 3;
-        float g = 0.114f * px[0] + 0.587f * px[1] + 0.299f * px[2];
-        out[i] = (g - 128.0f) / 255.0f;
-    }
-}
 
 }  // extern "C"

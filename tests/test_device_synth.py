@@ -56,7 +56,9 @@ def test_device_refine_heat_consistent_with_inference_mapping():
     assert p.shape == (16, 24, 24, 1) and h.shape == (16, 64, 64, 1)
     hm = np.asarray(h)[..., 0]
     peaks = hm.reshape(16, -1).max(1)
-    assert (peaks > 0.99).all()
+    # continuous sub-pixel centers: worst-case on-grid peak is
+    # exp(-(0.5²+0.5²)/8) ≈ 0.9394 (rounded-target mode would give 1.0)
+    assert (peaks > 0.93).all()
     # argmax position is within the valid 64×64 window
     idx = hm.reshape(16, -1).argmax(1)
     ys, xs = idx // 64, idx % 64
