@@ -45,6 +45,10 @@ def build_argparser():
                         "(reference parity, data_refinenet.py:84-91); default "
                         "is continuous sub-pixel Gaussian centers for the "
                         "soft-argmax decode")
+    p.add_argument("--fused-steps", type=int, default=1,
+                   help="with --device-synth: lax.scan K synthesis+train "
+                        "steps per dispatch (RefineNet steps are tiny and "
+                        "tunnel-dispatch-bound; K amortizes the latency)")
     return p
 
 
@@ -138,7 +142,22 @@ def main(argv=None):
         h = batch["heatmaps"].reshape(-1, 64, 64, 1)
         return p, h
 
-    step = jax.jit(make_refinenet_train_step(rn, tx), donate_argnums=(0,))
+    step_fn = make_refinenet_train_step(rn, tx)
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    K = max(1, args.fused_steps)
+    fused_multi = None
+    if device_synth is not None and K > 1:
+        # One dispatch per K steps: patch synthesis + MSE step scanned in a
+        # single jit (same amortization as cli/train --fused-steps).
+        def multi_step(state, key):
+            def body(carry, k):
+                p, h = device_synth.batch_body(k, bs_patches)
+                return step_fn(carry, p, h)
+
+            state, auxs = jax.lax.scan(body, state, jax.random.split(key, K))
+            return state, jax.tree.map(lambda a: a[-1], auxs)
+
+        fused_multi = jax.jit(multi_step, donate_argnums=(0,))
     eval_fn = jax.jit(make_refinenet_eval_step(rn))
     metric_fn = jax.jit(refinenet_metric)
 
@@ -148,11 +167,19 @@ def main(argv=None):
     for i, batch in enumerate(feed):
         if i >= args.steps:
             break
-        if device_synth is not None:
+        if fused_multi is not None:
+            if i == 0:
+                print(f"compiling fused {K}-step program...", flush=True)
+            state, aux = fused_multi(state, batch)
+            if i == 0:
+                jax.block_until_ready(aux["loss"])
+                print("fused program compiled", flush=True)
+        elif device_synth is not None:
             patches, heat = batch_gen(batch)
+            state, aux = step(state, patches, heat)
         else:
             patches, heat = flatten(batch)
-        state, aux = step(state, patches, heat)
+            state, aux = step(state, patches, heat)
         acc.update(train_refinenet_loss=aux["loss"])
 
         if (i + 1) % args.eval_every == 0:

@@ -277,14 +277,17 @@ class DeviceSynthesizer:
         img_norm = ((img - 128.0) / 255.0)[..., None]
         return img_norm, loc, ids, kpts, visible
 
+    def batch_body(self, key, batch_size: int):
+        """Unjitted batch synthesis (for embedding in larger programs)."""
+        return jax.vmap(self._sample)(jax.random.split(key, batch_size))
+
     def batch_fn(self, batch_size: int):
         """Jitted generator for a fixed batch size: key → (images, loc, ids)."""
         if not hasattr(self, "_fns"):
             self._fns = {}
         if batch_size not in self._fns:
             self._fns[batch_size] = jax.jit(
-                lambda key: jax.vmap(self._sample)(jax.random.split(key, batch_size))
-            )
+                lambda key: self.batch_body(key, batch_size))
         return self._fns[batch_size]
 
     def batch(self, key, batch_size: int):
@@ -353,20 +356,21 @@ class FramePatchSynthesizer:
         heat = jnp.where(expo > 4.6052, 0.0, jnp.exp(-expo))
         return patches[..., None], heat[..., None]
 
+    def batch_body(self, key, batch_size: int):
+        """Unjitted batch synthesis (for embedding in larger programs)."""
+        frames = max(1, batch_size // self.per_frame)
+        p, hm = jax.vmap(self._sample)(jax.random.split(key, frames))
+        return (p.reshape(-1, 24, 24, 1)[:batch_size],
+                hm.reshape(-1, 64, 64, 1)[:batch_size])
+
     def batch_fn(self, batch_size: int):
         """key → (batch_size patches, heats); batch_size must be a multiple
         of per_frame (frames = batch_size // per_frame)."""
         if not hasattr(self, "_fns"):
             self._fns = {}
         if batch_size not in self._fns:
-            frames = max(1, batch_size // self.per_frame)
-
-            def gen(key):
-                p, hm = jax.vmap(self._sample)(jax.random.split(key, frames))
-                return (p.reshape(-1, 24, 24, 1)[:batch_size],
-                        hm.reshape(-1, 64, 64, 1)[:batch_size])
-
-            self._fns[batch_size] = jax.jit(gen)
+            self._fns[batch_size] = jax.jit(
+                lambda key: self.batch_body(key, batch_size))
         return self._fns[batch_size]
 
     def batch(self, key, batch_size: int):
@@ -447,13 +451,16 @@ class DeviceRefineSynthesizer:
 
         return ((patch - 128.0) / 255.0)[..., None], heat[..., None]
 
+    def batch_body(self, key, batch_size: int):
+        """Unjitted batch synthesis (for embedding in larger programs)."""
+        return jax.vmap(self._sample)(jax.random.split(key, batch_size))
+
     def batch_fn(self, batch_size: int):
         if not hasattr(self, "_fns"):
             self._fns = {}
         if batch_size not in self._fns:
             self._fns[batch_size] = jax.jit(
-                lambda key: jax.vmap(self._sample)(jax.random.split(key, batch_size))
-            )
+                lambda key: self.batch_body(key, batch_size))
         return self._fns[batch_size]
 
     def batch(self, key, batch_size: int):

@@ -123,6 +123,23 @@ def test_train_refinenet_cli_few_steps(tmp_path, capsys):
     assert "best checkpoint" in out
 
 
+def test_train_refinenet_cli_fused_device_synth(tmp_path, capsys):
+    """--device-synth --fused-steps: scanned synthesis+step per dispatch."""
+    from deepcharuco_tpu.cli.train_refinenet import main
+
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text("board_name: DICT_4X4_50\nrow_count: 5\ncol_count: 5\n"
+                   "square_len: 0.01\nmarker_len: 0.0075\ninput_size: [64, 48]\n")
+    main(["--config", str(cfg), "--device-synth", "--fused-steps", "2",
+          "--steps", "2", "--eval-every", "2", "--eval-batches", "1",
+          "--batch-size", "8", "--total", "4",
+          "--logdir", str(tmp_path / "logs"),
+          "--ckpt-dir", str(tmp_path / "ckpts")])
+    out = capsys.readouterr().out
+    assert "fused program compiled" in out
+    assert "best checkpoint" in out
+
+
 def test_pose_video_cli_ransac(tmp_path):
     from deepcharuco_tpu.cli.pose_video import main
 
