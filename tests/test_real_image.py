@@ -4,11 +4,13 @@ photo (``src/reference/samples_test/IMG_7412.png`` — the frame
 
 This is the reference's headline claim (``README.md:11-22``): the learned
 pipeline detects the board where classical ``cv2.aruco`` fails. Measured on
-this frame with the round-1 shipped weights (CPU backend, f32):
+this frame with the round-2 shipped weights (mixed host/device diet +
+margin-calibration loss; CPU backend, f32):
 
-- ours: 12/16 inner corners, all homography-consistent at <= 0.25 px residual;
+- ours: 14/16 inner corners (round-1 weights: 12/16), all
+  homography-consistent at <= 0.21 px residual;
 - classical ChArUco interpolation: 2 corners;
-- on the one corner both find (id 5): agreement within 0.15 px.
+- agreement where both detect: within 0.15 px.
 
 The assertions below lock in a slightly looser floor so the test stays green
 across backends/dtypes while still failing on any real regression.
@@ -48,7 +50,7 @@ def detections():
 
 def test_detects_most_corners_on_real_photo(detections):
     _, _, _, valid, _ = detections
-    assert int(valid.sum()) >= 10  # round-1 weights: 12/16
+    assert int(valid.sum()) >= 12  # round-2 weights: 14/16 (round-1: 12/16)
 
 
 def test_detections_are_homography_consistent(detections):
