@@ -45,6 +45,10 @@ def build_argparser():
                         "(reference parity, data_refinenet.py:84-91); default "
                         "is continuous sub-pixel Gaussian centers for the "
                         "soft-argmax decode")
+    p.add_argument("--coord-weight", type=float, default=0.0,
+                   help="weight of the soft-argmax coordinate loss (image-px "
+                        "squared error between decoded predicted and target "
+                        "positions); 0 = reference-parity MSE only")
     p.add_argument("--fused-steps", type=int, default=1,
                    help="with --device-synth: lax.scan K synthesis+train "
                         "steps per dispatch (RefineNet steps are tiny and "
@@ -142,7 +146,7 @@ def main(argv=None):
         h = batch["heatmaps"].reshape(-1, 64, 64, 1)
         return p, h
 
-    step_fn = make_refinenet_train_step(rn, tx)
+    step_fn = make_refinenet_train_step(rn, tx, coord_weight=args.coord_weight)
     step = jax.jit(step_fn, donate_argnums=(0,))
     K = max(1, args.fused_steps)
     fused_multi = None

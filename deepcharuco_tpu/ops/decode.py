@@ -133,6 +133,24 @@ def refine_keypoints(heat: jnp.ndarray, keypoints: jnp.ndarray) -> jnp.ndarray:
     return (corners - 32.0) / 8.0 + keypoints
 
 
+def soft_argmax_2d(heat: jnp.ndarray, temperature: float = 30.0) -> jnp.ndarray:
+    """Softmax-expectation position of (..., H, W[, 1]) heatmaps → (..., 2)
+    float32 (x, y) in heatmap-grid units. Differentiable — also used as a
+    training loss term (train.steps refinenet coord loss)."""
+    if heat.shape[-1] == 1 and heat.ndim >= 3:
+        heat = heat[..., 0]
+    h, w = heat.shape[-2], heat.shape[-1]
+    flat = heat.reshape(*heat.shape[:-2], h * w) * temperature
+    p = jax.nn.softmax(flat, axis=-1)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    grid_x = jnp.tile(xs, h)
+    grid_y = jnp.repeat(ys, w)
+    ex = jnp.sum(p * grid_x, axis=-1)
+    ey = jnp.sum(p * grid_y, axis=-1)
+    return jnp.stack([ex, ey], axis=-1)
+
+
 def refine_keypoints_soft(heat: jnp.ndarray, keypoints: jnp.ndarray,
                           temperature: float = 30.0) -> jnp.ndarray:
     """Soft-argmax heatmap decode — continuous sub-pixel positions.
@@ -144,16 +162,5 @@ def refine_keypoints_soft(heat: jnp.ndarray, keypoints: jnp.ndarray,
     (temperature ≳ 20 on [0,1]-valued maps) concentrates on the true peak and
     recovers the sub-grid mode position. Pure vector math — free on the VPU.
     """
-    if heat.shape[-1] == 1 and heat.ndim >= 3 and heat.shape[-2] == 64:
-        heat = heat[..., 0]
-    h, w = heat.shape[-2], heat.shape[-1]
-    flat = heat.reshape(*heat.shape[:-2], h * w) * temperature
-    p = jax.nn.softmax(flat, axis=-1)
-    xs = jnp.arange(w, dtype=jnp.float32)
-    ys = jnp.arange(h, dtype=jnp.float32)
-    grid_x = jnp.tile(xs, h)
-    grid_y = jnp.repeat(ys, w)
-    ex = jnp.sum(p * grid_x, axis=-1)
-    ey = jnp.sum(p * grid_y, axis=-1)
-    corners = jnp.stack([ex, ey], axis=-1)
+    corners = soft_argmax_2d(heat, temperature)
     return (corners - 32.0) / 8.0 + keypoints

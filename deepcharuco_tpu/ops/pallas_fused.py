@@ -9,9 +9,9 @@ claim tensor never round-trip HBM; per image only (n_ids, 2) keypoints and
 (n_ids,) validity leave the chip.
 
 Design notes (see also ops/pallas_decode.py for round-1 lowering pitfalls):
-- The 3×3 head convs run as 9 shifted (cells × 128) @ (128 × 256) MXU
-  matmuls over the zero-padded trunk block, BN folded into weights/bias on
-  the host (inference affine — exact in f32).
+- The 3×3 head convs run as im2col + ONE (cells × 1152) @ (1152 × 512) MXU
+  matmul covering BOTH heads over the zero-padded trunk block, BN folded
+  into weights/bias on the host (inference affine — exact in f32).
 - The decode is *lane-vectorized over ids*: the per-id best-cell selection
   runs on (cells, n_ids) arrays with sublane reductions, replacing round 1's
   static per-id unroll of (cells, 1) reductions that used 1 of 128 lanes.
@@ -71,9 +71,15 @@ def fold_head_params(variables, n_ids: int = 16):
     bpb = np.asarray(p["convPb"]["bias"], np.float32)[None, :]
     wdb = np.asarray(p["convDb"]["kernel"], np.float32)[0, 0]   # (256, n_ids+1)
     bdb = np.asarray(p["convDb"]["bias"], np.float32)[None, :]
+    # Both heads' 3×3 convs as ONE (9*Cin, 512) matrix: the kernel builds the
+    # im2col patch matrix once and hits the MXU with a single K=1152 matmul
+    # instead of 18 K=128 passes.
+    wh = np.concatenate([np.asarray(wpa, np.float32),
+                         np.asarray(wda, np.float32)], axis=1)
     return dict(
         wpa=jnp.asarray(wpa), bpa=jnp.asarray(bpa),
         wda=jnp.asarray(wda), bda=jnp.asarray(bda),
+        wh=jnp.asarray(wh.astype(jnp.bfloat16)),
         wpb=jnp.asarray(wpb.astype(jnp.bfloat16)), bpb=jnp.asarray(bpb),
         wdb=jnp.asarray(wdb.astype(jnp.bfloat16)), bdb=jnp.asarray(bdb),
     )
@@ -83,27 +89,23 @@ def fold_head_params(variables, n_ids: int = 16):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _head_decode_kernel(x_ref, wpa_ref, bpa_ref, wpb_ref, bpb_ref,
-                        wda_ref, bda_ref, wdb_ref, bdb_ref,
+def _head_decode_kernel(x_ref, wh_ref, bpa_ref, wpb_ref, bpb_ref,
+                        bda_ref, wdb_ref, bdb_ref,
                         kpts_ref, valid_ref, *, hc: int, wc: int,
                         n_ids: int, cin: int, min_margin):
     m = hc * wc
     x = x_ref[0]  # (hc+2, wc+2, cin) bf16, zero-padded trunk
 
-    # --- heads: 3×3 conv as 9 shifted MXU matmuls, f32 accumulation -------
-    acc_p = jnp.zeros((m, 256), jnp.float32)
-    acc_d = jnp.zeros((m, 256), jnp.float32)
-    for ky in range(3):
-        for kx in range(3):
-            patch = x[ky:ky + hc, kx:kx + wc, :].reshape(m, cin)
-            t = (ky * 3 + kx) * cin
-            acc_p += jnp.dot(patch, wpa_ref[t:t + cin, :],
-                             preferred_element_type=jnp.float32)
-            acc_d += jnp.dot(patch, wda_ref[t:t + cin, :],
-                             preferred_element_type=jnp.float32)
+    # --- heads: im2col once, then ONE (m, 9*cin) @ (9*cin, 512) MXU matmul
+    # covering BOTH heads' 3×3 convs (K=1152 saturates the systolic array
+    # where 18 separate K=128 passes did not), f32 accumulation.
+    cols = [x[ky:ky + hc, kx:kx + wc, :].reshape(m, cin)
+            for ky in range(3) for kx in range(3)]
+    patch = jnp.concatenate(cols, axis=-1)                   # (m, 9*cin)
+    pd = jnp.dot(patch, wh_ref[:], preferred_element_type=jnp.float32)
     # BN folded into (w, b); relu; bf16 for the 1×1 matmul like the model
-    p_act = jnp.maximum(acc_p + bpa_ref[:], 0.0).astype(jnp.bfloat16)
-    d_act = jnp.maximum(acc_d + bda_ref[:], 0.0).astype(jnp.bfloat16)
+    p_act = jnp.maximum(pd[:, :256] + bpa_ref[:], 0.0).astype(jnp.bfloat16)
+    d_act = jnp.maximum(pd[:, 256:] + bda_ref[:], 0.0).astype(jnp.bfloat16)
     loc = jnp.dot(p_act, wpb_ref[:],
                   preferred_element_type=jnp.float32) + bpb_ref[:]   # (m, 65)
     idsl = jnp.dot(d_act, wdb_ref[:],
@@ -163,9 +165,9 @@ def pallas_fused_head_decode(trunk: jnp.ndarray, folded: dict,
         in_specs=[
             pl.BlockSpec((1, hc + 2, wc + 2, cin), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            full((9 * cin, 256)), full((1, 256)),
+            full((9 * cin, 512)), full((1, 256)),
             full((256, 65)), full((1, 65)),
-            full((9 * cin, 256)), full((1, 256)),
+            full((1, 256)),
             full((256, n_ids + 1)), full((1, n_ids + 1)),
         ],
         out_specs=[
@@ -179,6 +181,6 @@ def pallas_fused_head_decode(trunk: jnp.ndarray, folded: dict,
             jax.ShapeDtypeStruct((n, 1, n_ids), jnp.int32),
         ],
         interpret=interpret,
-    )(xpad, folded["wpa"], folded["bpa"], folded["wpb"], folded["bpb"],
-      folded["wda"], folded["bda"], folded["wdb"], folded["bdb"])
+    )(xpad, folded["wh"], folded["bpa"], folded["wpb"], folded["bpb"],
+      folded["bda"], folded["wdb"], folded["bdb"])
     return kpts.transpose(0, 2, 1), valid[:, 0].astype(bool)

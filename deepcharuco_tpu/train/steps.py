@@ -121,9 +121,19 @@ def detector_loss_fn(det: Detector, params, batch_stats, images, loc_labels,
 
 
 def refinenet_loss_fn(rn: RefineNet, params, batch_stats, patches, heatmaps,
-                      train: bool = True):
+                      train: bool = True, coord_weight: float = 0.0):
     """MSE on heatmaps; patches (N,24,24,1), heatmaps (N,64,64,1)
-    (ref refinenet.py:163-175)."""
+    (ref refinenet.py:163-175).
+
+    ``coord_weight > 0`` adds a soft-argmax coordinate loss: squared error
+    between the *decoded* sub-pixel position of the predicted heatmap and
+    that of the target heatmap, in image px (the 64×64 grid is 8× the image
+    resolution). The MSE trains the heat *values* but is nearly flat in the
+    peak's sub-grid position — this term optimizes exactly what inference
+    decodes (``ops.refine_keypoints_soft``). The target position is recovered
+    by soft-argmaxing the target Gaussian itself (exact to <0.002 px for the
+    continuous-center labels), so the step signature stays (patches, heats).
+    """
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
         heat, mutated = rn.apply(variables, patches, train=True,
@@ -134,6 +144,14 @@ def refinenet_loss_fn(rn: RefineNet, params, batch_stats, patches, heatmaps,
         new_stats = batch_stats
     loss = jnp.mean((heat - heatmaps) ** 2)
     aux = {"loss": loss}
+    if coord_weight > 0.0:
+        from deepcharuco_tpu.ops.decode import soft_argmax_2d
+
+        pred_xy = soft_argmax_2d(heat) / 8.0       # image px
+        true_xy = soft_argmax_2d(heatmaps) / 8.0
+        loss_coord = jnp.mean(jnp.sum((pred_xy - true_xy) ** 2, axis=-1))
+        loss = loss + coord_weight * loss_coord
+        aux = {**aux, "loss": loss, "loss_coord": loss_coord}
     return loss, (aux, new_stats, heat)
 
 
@@ -162,11 +180,12 @@ def make_detector_train_step(det: Detector,
 
 
 def make_refinenet_train_step(rn: RefineNet,
-                              tx: optax.GradientTransformation) -> Callable:
+                              tx: optax.GradientTransformation,
+                              coord_weight: float = 0.0) -> Callable:
     def step(state: TrainState, patches, heatmaps):
         (loss, (aux, new_stats, _)), grads = jax.value_and_grad(
             lambda p: refinenet_loss_fn(rn, p, state.batch_stats, patches,
-                                        heatmaps),
+                                        heatmaps, coord_weight=coord_weight),
             has_aux=True,
         )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -72,6 +72,46 @@ def test_refinenet_train_step_reduces_loss(rng):
     assert losses[-1] < losses[0]
 
 
+def test_refinenet_coord_loss(rng):
+    """Soft-argmax coordinate auxiliary: zero when the predicted heatmap IS
+    the target, positive and equal to the squared image-px offset when the
+    peak is shifted."""
+    from deepcharuco_tpu.ops.heatmap import gaussian_heatmap
+    from deepcharuco_tpu.train.steps import refinenet_loss_fn
+
+    rn = RefineNet(dtype=jnp.float32)
+    tx, state = create_refinenet_state(rn, jax.random.PRNGKey(0))
+    patches = jnp.asarray(rng.normal(size=(2, 24, 24, 1)).astype(np.float32))
+
+    def mk(centers):
+        return jnp.stack([gaussian_heatmap(cx, cy, 64, 2.0, jnp)
+                          for cx, cy in centers])[..., None]
+
+    target = mk([(30.25, 33.5), (28.0, 36.75)])
+
+    # identical pred/target → loss_coord ≈ 0 (probe the loss fn directly)
+    from deepcharuco_tpu.ops.decode import soft_argmax_2d
+
+    same = soft_argmax_2d(target) - soft_argmax_2d(target)
+    assert float(jnp.abs(same).max()) == 0.0
+    _, (aux, _, _) = refinenet_loss_fn(rn, state.params, state.batch_stats,
+                                       patches, target, train=False,
+                                       coord_weight=1.0)
+    assert "loss_coord" in aux and np.isfinite(float(aux["loss_coord"]))
+
+    # a 2-grid-px (0.25 image px) peak shift costs ~0.25² in the coord term
+    shifted = mk([(32.25, 33.5), (30.0, 36.75)])
+    pred_xy = soft_argmax_2d(shifted) / 8.0
+    true_xy = soft_argmax_2d(target) / 8.0
+    sq = float(jnp.mean(jnp.sum((pred_xy - true_xy) ** 2, -1)))
+    np.testing.assert_allclose(sq, 0.0625, atol=0.005)
+
+    # and the step trains with it enabled
+    step = jax.jit(make_refinenet_train_step(rn, tx, coord_weight=0.1))
+    state2, aux2 = step(state, patches, target)
+    assert np.isfinite(float(aux2["loss"])) and "loss_coord" in aux2
+
+
 def test_sharded_detector_train_step_8_devices(rng):
     """DP×SP mesh (4×2) over the virtual CPU devices: one real sharded step,
     numerically equal to the single-device step."""
