@@ -54,6 +54,11 @@ def build_argparser():
                         "wrong-cell decode outliers at the source")
     p.add_argument("--conf-margin", type=float, default=4.0,
                    help="logit margin the auxiliary loss enforces")
+    p.add_argument("--axis-snap-p", type=float, default=0.0,
+                   help="with --device-synth: probability of snapping the "
+                        "board rotation to the nearest 90° (±2°) with near-"
+                        "zero shear — trains the frontal axis-aligned poses "
+                        "the uniform ±360° diet almost never produces")
     p.add_argument("--mixed-host-every", type=int, default=0,
                    help="with --device-synth: every Nth dispatch trains on a "
                         "HOST-pipeline batch (full reference augmentation "
@@ -143,7 +148,7 @@ def main(argv=None):
     if args.device_synth:
         from deepcharuco_tpu.data.device_synth import DeviceSynthesizer
 
-        device_synth = DeviceSynthesizer(cfg)
+        device_synth = DeviceSynthesizer(cfg, axis_snap_p=args.axis_snap_p)
         K = max(1, args.fused_steps)
         # Jitted single-step path: used by K==1 dispatches AND by mixed-diet
         # host batches (which arrive as arrays, not PRNG keys). Under a mesh

@@ -62,15 +62,32 @@ def _bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
     return val, inb
 
 
-def _affine_params(key, hw: Tuple[int, int], scale_range, translate_frac):
+def _affine_params(key, hw: Tuple[int, int], scale_range, translate_frac,
+                   axis_snap_p: float = 0.0):
     """Forward 2×2 A and translation t about the canvas center (same
-    construction as the host path, augment.affine_matrix)."""
+    construction as the host path, augment.affine_matrix).
+
+    ``axis_snap_p``: probability of snapping the rotation to the nearest
+    multiple of 90° (±2° jitter) and shrinking shear to ±3°. Uniform ±360°
+    rotation makes exactly-frontal axis-aligned boards vanishingly rare, and
+    the round-1 weights were measurably weak on them (1/16 corners on a
+    frontal full-scale render; every interior checkerboard corner is locally
+    identical, so the ids head needs training signal at this symmetric
+    pose). Off by default — reference distribution parity.
+    """
     h, w = hw
-    ks = jax.random.split(key, 5)
+    ks = jax.random.split(key, 7)
     s = jax.random.uniform(ks[0], (), minval=scale_range[0], maxval=scale_range[1])
     ang = jax.random.uniform(ks[1], (), minval=-2 * jnp.pi, maxval=2 * jnp.pi)
-    sh = jnp.tan(jnp.deg2rad(
-        jax.random.uniform(ks[2], (2,), minval=-35.0, maxval=35.0)))
+    sh_deg = jax.random.uniform(ks[2], (2,), minval=-35.0, maxval=35.0)
+    if axis_snap_p > 0.0:
+        snap = jax.random.uniform(ks[5]) < axis_snap_p
+        ang_snapped = (jnp.round(ang / (jnp.pi / 2)) * (jnp.pi / 2)
+                       + jax.random.uniform(ks[6], (), minval=-0.035,
+                                            maxval=0.035))
+        ang = jnp.where(snap, ang_snapped, ang)
+        sh_deg = jnp.where(snap, sh_deg * (3.0 / 35.0), sh_deg)
+    sh = jnp.tan(jnp.deg2rad(sh_deg))
     t_frac = jax.random.uniform(ks[3], (2,), minval=translate_frac[0],
                                 maxval=translate_frac[1])
     c, si = jnp.cos(ang), jnp.sin(ang)
@@ -181,7 +198,7 @@ class DeviceSynthesizer:
     """
 
     def __init__(self, config: Config, negative_p: float = 0.05,
-                 refinenet_ranges: bool = False):
+                 refinenet_ranges: bool = False, axis_snap_p: float = 0.0):
         import numpy as np
 
         from deepcharuco_tpu import board as B
@@ -190,6 +207,7 @@ class DeviceSynthesizer:
         self.hw = config.input_hw
         self.n_ids = config.n_ids
         self.negative_p = negative_p
+        self.axis_snap_p = axis_snap_p  # see _affine_params
         if refinenet_ranges:  # transformations.py:24-26
             self.scale_range = (0.3, 0.75)
             self.translate_frac = (0.0, 0.0)
@@ -228,7 +246,9 @@ class DeviceSynthesizer:
         visible (n_ids,) bool)."""
         h, w = self.hw
         ks = jax.random.split(key, 6)
-        A, t = _affine_params(ks[0], self.hw, self.scale_range, self.translate_frac)
+        A, t = _affine_params(ks[0], self.hw, self.scale_range,
+                              self.translate_frac,
+                              axis_snap_p=self.axis_snap_p)
 
         # Inverse map for sampling: src = A⁻¹ (dst − t)
         det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]

@@ -48,6 +48,29 @@ def test_device_synth_negative_probability():
     assert int((np.asarray(ids) != 16).sum()) == 0  # all dustbin
 
 
+def test_axis_snap_produces_axis_aligned_boards():
+    """axis_snap_p=1.0 must yield near-axis-aligned geometry: the vector
+    between horizontally adjacent corners stays within a few degrees of a
+    multiple of 90° (frontal-pose training diet; off by default)."""
+    snap = DeviceSynthesizer(CFG, negative_p=0.0, axis_snap_p=1.0)
+    keys = jax.random.split(jax.random.PRNGKey(11), 24)
+    _, _, _, kpts, vis = jax.jit(jax.vmap(snap._sample_full))(keys)
+    kpts, vis = np.asarray(kpts), np.asarray(vis)
+    checked = 0
+    for i in range(24):
+        if vis[i, 0] and vis[i, 1]:  # corners 0,1 are horizontal neighbours
+            d = kpts[i, 1] - kpts[i, 0]
+            ang = np.degrees(np.arctan2(d[1], d[0])) % 90.0
+            assert min(ang, 90.0 - ang) < 8.0, ang  # 2° rot + ≤3° shear
+            checked += 1
+    assert checked >= 5
+
+    # default (axis_snap_p=0) is bit-identical to the pre-flag stream
+    a = DeviceSynthesizer(CFG).batch(jax.random.PRNGKey(3), 2)
+    b = DeviceSynthesizer(CFG, axis_snap_p=0.0).batch(jax.random.PRNGKey(3), 2)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
 def test_device_refine_heat_consistent_with_inference_mapping():
     """heat argmax must satisfy refined = (argmax − 32)/8 + center ≈ true
     corner — i.e. the label is placed exactly where infer_patches expects."""
