@@ -115,6 +115,16 @@ def detector_loss_fn(det: Detector, params, batch_stats, images, loc_labels,
         rival = jnp.max(ids_hat - onehot * jnp.float32(1e9), axis=-1)
         fg_viol = jax.nn.relu(rival - true_logit + conf_margin)
         loss_conf = jnp.mean(jnp.where(is_bg, bg_viol, fg_viol))
+        # The decode admits a wrong-cell only when BOTH heads clear their
+        # dustbins (pred_argmax gates ids on loc_pix != 64), so calibrate
+        # the LOC head's dustbin on background cells too. No fg-side loc
+        # hinge: sub-cell position classes are legitimately ambiguous at
+        # ±1 px and a margin there would fight the CE.
+        loc_hat = out["loc"]                      # (N, Hc, Wc, 65)
+        loc_dust = loc_hat[..., 64]
+        best_pos = jnp.max(loc_hat[..., :64], axis=-1)
+        loc_bg_viol = jax.nn.relu(best_pos - loc_dust + conf_margin)
+        loss_conf = loss_conf + jnp.mean(jnp.where(is_bg, loc_bg_viol, 0.0))
         loss = loss + conf_weight * loss_conf
         aux = {**aux, "loss": loss, "loss_conf": loss_conf}
     return loss, (aux, new_stats, out)
