@@ -150,27 +150,30 @@ def main(argv=None):
 
         device_synth = DeviceSynthesizer(cfg, axis_snap_p=args.axis_snap_p)
         K = max(1, args.fused_steps)
+        from deepcharuco_tpu.parallel import (
+            sharded_synth_train_program,
+            synth_scan_program,
+        )
+
         # Jitted single-step path: used by K==1 dispatches AND by mixed-diet
         # host batches (which arrive as arrays, not PRNG keys). Under a mesh
         # the host batch is sharded over 'data' like everything else.
         if mesh is not None:
-            from deepcharuco_tpu.parallel import sharded_synth_train_program
-
             device_step = sharded_train_step(step_fn, mesh)
         else:
             device_step = jax.jit(step_fn, donate_argnums=(0,))
-        if args.mixed_host_every > 0 or args.eval_host_batches > 0:
-            host_train_ds = CharucoDataset(cfg, labels=args.labels,
-                                           images_folder=args.images)
+        if args.eval_host_batches > 0:
             host_val_ds = CharucoDataset(cfg, labels=args.labels,
                                          images_folder=args.images,
                                          validation=True)
-            if args.mixed_host_every > 0:
-                train_loader = BatchLoader(host_train_ds, bs,
-                                           num_workers=workers, seed=0)
-                host_feed = device_prefetch(train_loader, size=2)
-                print(f"mixed diet: 1 host batch per {args.mixed_host_every} "
-                      "dispatches")
+        if args.mixed_host_every > 0:
+            host_train_ds = CharucoDataset(cfg, labels=args.labels,
+                                           images_folder=args.images)
+            train_loader = BatchLoader(host_train_ds, bs,
+                                       num_workers=workers, seed=0)
+            host_feed = device_prefetch(train_loader, size=2)
+            print(f"mixed diet: 1 host batch per {args.mixed_host_every} "
+                  "dispatches")
         use_fused = K > 1 or mesh is not None
         if mesh is not None:
             # Flagship multi-chip mode: synthesis+step(s) in one program,
@@ -181,17 +184,11 @@ def main(argv=None):
         elif K > 1:
             # One dispatch per K steps: synthesis+step scanned inside a
             # single jit — amortizes the per-call tunnel/dispatch latency.
-            def multi_step(state, key):
-                def body(carry, k):
-                    imgs, loc, ids = jax.vmap(device_synth._sample)(
-                        jax.random.split(k, bs))
-                    st, aux = step_fn(carry, imgs, loc, ids)
-                    return st, aux
-
-                state, auxs = jax.lax.scan(body, state, jax.random.split(key, K))
-                return state, jax.tree.map(lambda a: a[-1], auxs)
-
-            fused_multi = jax.jit(multi_step, donate_argnums=(0,))
+            fused_multi = jax.jit(
+                synth_scan_program(step_fn,
+                                   lambda k: device_synth.batch_body(k, bs),
+                                   fused_steps=K),
+                donate_argnums=(0,))
         else:
             # Two separate jits (synthesis, then step): smaller programs,
             # much faster first compile (device_step is jitted above).
@@ -327,7 +324,10 @@ def main(argv=None):
             save_state = state
             if mesh is not None:
                 save_state = jax.tree.map(np.asarray, state)
-            ckpts.save(f"step_{i+1:07d}",
+            # Name by the GLOBAL optimizer step (restored across --resume),
+            # not the local dispatch counter: a resumed run must extend the
+            # prior run's checkpoint series, not overwrite its names.
+            ckpts.save(f"step_{int(save_state.step):07d}",
                        {"params": save_state.params,
                         "batch_stats": save_state.batch_stats,
                         "opt_state_flat": flatten_opt_state(save_state.opt_state),

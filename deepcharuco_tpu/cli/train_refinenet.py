@@ -107,6 +107,9 @@ def main(argv=None):
                 step=jnp.asarray(restored["step"], jnp.int32))
             print(f"resumed from {args.resume} at step "
                   f"{int(restored['step'])} (with optimizer state)")
+        else:
+            print(f"resumed from {args.resume} (params only — old-format "
+                  "checkpoint; Adam moments reset)")
 
     device_synth = None
     loader = None
@@ -153,15 +156,13 @@ def main(argv=None):
     if device_synth is not None and K > 1:
         # One dispatch per K steps: patch synthesis + MSE step scanned in a
         # single jit (same amortization as cli/train --fused-steps).
-        def multi_step(state, key):
-            def body(carry, k):
-                p, h = device_synth.batch_body(k, bs_patches)
-                return step_fn(carry, p, h)
+        from deepcharuco_tpu.parallel import synth_scan_program
 
-            state, auxs = jax.lax.scan(body, state, jax.random.split(key, K))
-            return state, jax.tree.map(lambda a: a[-1], auxs)
-
-        fused_multi = jax.jit(multi_step, donate_argnums=(0,))
+        fused_multi = jax.jit(
+            synth_scan_program(step_fn,
+                               lambda k: device_synth.batch_body(k, bs_patches),
+                               fused_steps=K),
+            donate_argnums=(0,))
     eval_fn = jax.jit(make_refinenet_eval_step(rn))
     metric_fn = jax.jit(refinenet_metric)
 
@@ -214,7 +215,9 @@ def main(argv=None):
                   f"({sps:.1f} steps/s)")
             from deepcharuco_tpu.train.checkpoints import flatten_opt_state
 
-            ckpts.save(f"step_{i+1:07d}",
+            # Global-step names: a resumed run extends the prior series
+            # instead of overwriting its checkpoint names (see cli/train.py).
+            ckpts.save(f"step_{int(state.step):07d}",
                        {"params": state.params, "batch_stats": state.batch_stats,
                         "opt_state_flat": flatten_opt_state(state.opt_state),
                         "step": np.asarray(state.step)},

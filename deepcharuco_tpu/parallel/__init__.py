@@ -5,6 +5,7 @@ from deepcharuco_tpu.parallel.mesh import (
     replicate,
     sharded_train_step,
     sharded_synth_train_program,
+    synth_scan_program,
     sharded_inference,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "replicate",
     "sharded_train_step",
     "sharded_synth_train_program",
+    "synth_scan_program",
     "sharded_inference",
 ]

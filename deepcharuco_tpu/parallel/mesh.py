@@ -31,6 +31,10 @@ def make_mesh(n_data: Optional[int] = None, n_spatial: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_spatial
+    if n_data < 1 or n_spatial < 1:
+        raise ValueError(
+            f"mesh {n_data}x{n_spatial} is empty — n_spatial ({n_spatial}) "
+            f"likely exceeds the device count ({len(devices)})")
     assert n_data * n_spatial <= len(devices), (
         f"mesh {n_data}x{n_spatial} needs more than {len(devices)} devices"
     )
@@ -96,9 +100,30 @@ def shard_frames(mesh: Mesh, frames):
     return jax.device_put(frames, NamedSharding(mesh, P(*spec)))
 
 
+def synth_scan_program(step_fn, batch_fn, fused_steps: int = 1):
+    """Synthesis + train-step program body: ``(state, key) → (state, aux)``,
+    optionally ``lax.scan``-fused over ``fused_steps`` sub-keys per dispatch
+    (aux = last step's). ``batch_fn``: key → tuple of batch arrays. The ONE
+    scan wrapper shared by the single-device CLIs and the sharded program
+    below — jit/donate at the call site."""
+
+    def one_step(state, key):
+        return step_fn(state, *batch_fn(key))
+
+    if fused_steps <= 1:
+        return one_step
+
+    def program(state, key):
+        state, auxs = jax.lax.scan(one_step, state,
+                                   jax.random.split(key, fused_steps))
+        return state, jax.tree.map(lambda a: a[-1], auxs)
+
+    return program
+
+
 def sharded_synth_train_program(step_fn, sample_fn, mesh: Mesh,
                                 batch_size: int, fused_steps: int = 1,
-                                spatial_dim: int = 1):
+                                spatial_dim: Optional[int] = 1):
     """The flagship multi-chip training program: ON-DEVICE synthesis + train
     step(s), fused in ONE jit over the ('data', 'spatial') mesh.
 
@@ -115,7 +140,9 @@ def sharded_synth_train_program(step_fn, sample_fn, mesh: Mesh,
 
     ``sample_fn``: key → tuple of per-sample arrays (e.g. (image, loc, ids)
     or (patch, heat)); the first element is treated as image-like and gets
-    the spatial constraint. ``step_fn``: (state, *batch) → (state, aux).
+    the spatial constraint (``spatial_dim=None`` disables it — use for
+    patch-shaped data where splitting the tiny height axis would only buy
+    conv halo traffic). ``step_fn``: (state, *batch) → (state, aux).
     """
     state_sharding = NamedSharding(mesh, P())
     data_sharding = NamedSharding(mesh, P("data"))
@@ -125,27 +152,20 @@ def sharded_synth_train_program(step_fn, sample_fn, mesh: Mesh,
         for i, x in enumerate(batch):
             spec = [None] * x.ndim
             spec[0] = "data"
-            if (i == 0 and mesh.shape["spatial"] > 1 and x.ndim > spatial_dim
+            if (i == 0 and spatial_dim is not None
+                    and mesh.shape["spatial"] > 1 and x.ndim > spatial_dim
                     and x.shape[spatial_dim] % mesh.shape["spatial"] == 0):
                 spec[spatial_dim] = "spatial"
             out.append(jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, P(*spec))))
         return tuple(out)
 
-    def one_step(state, key):
+    def batch_fn(key):
         keys = jax.random.split(key, batch_size)
         keys = jax.lax.with_sharding_constraint(keys, data_sharding)
-        batch = constrain(jax.vmap(sample_fn)(keys))
-        return step_fn(state, *batch)
+        return constrain(jax.vmap(sample_fn)(keys))
 
-    if fused_steps <= 1:
-        program = one_step
-    else:
-        def program(state, key):
-            state, auxs = jax.lax.scan(one_step, state,
-                                       jax.random.split(key, fused_steps))
-            return state, jax.tree.map(lambda a: a[-1], auxs)
-
+    program = synth_scan_program(step_fn, batch_fn, fused_steps)
     return jax.jit(program, out_shardings=(state_sharding, None),
                    donate_argnums=(0,))
 

@@ -181,6 +181,10 @@ def test_train_cli_resume_full_fidelity(tmp_path, capsys):
           *common])
     out = capsys.readouterr().out
     assert "with optimizer state" in out
+    # resumed checkpoints carry GLOBAL step names — the series is extended
+    # (step_0000003), not overwritten from step_0000001
+    assert os.path.isdir(tmp_path / "ckpts" / "step_0000003")
+    assert os.path.isdir(tmp_path / "ckpts" / "step_0000002")
 
 
 def test_train_cli_device_synth_fused(tmp_path, capsys):
