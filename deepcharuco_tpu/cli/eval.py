@@ -33,6 +33,10 @@ def build_argparser():
     p.add_argument("--soft-argmax", action="store_true",
                    help="decode the refine heatmap with soft-argmax "
                         "(continuous sub-pixel) instead of hard argmax")
+    p.add_argument("--rn-upsample", choices=["nearest", "bilinear"],
+                   default="nearest",
+                   help="RefineNet decoder upsampling mode (weights are "
+                        "mode-agnostic; match how the net was trained)")
     p.add_argument("--images", default=None)
     p.add_argument("--labels", default=None)
     return p
@@ -58,7 +62,7 @@ def main(argv=None):
 
     cfg = load_configuration(args.config) if args.config else default_config()
     det = Detector(n_ids=cfg.n_ids, dtype=jnp.float32)
-    rn = RefineNet(dtype=jnp.float32)
+    rn = RefineNet(dtype=jnp.float32, upsample=args.rn_upsample)
     dv = load_model_variables(args.deepc, "detector", cfg.n_ids)
     rv = load_model_variables(args.refinenet, "refinenet")
     if args.deepc is None:

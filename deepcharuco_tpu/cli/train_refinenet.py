@@ -45,6 +45,11 @@ def build_argparser():
                         "(reference parity, data_refinenet.py:84-91); default "
                         "is continuous sub-pixel Gaussian centers for the "
                         "soft-argmax decode")
+    p.add_argument("--upsample", choices=["nearest", "bilinear"],
+                   default="nearest",
+                   help="decoder upsampling: nearest = reference parity; "
+                        "bilinear = smoother interpolation (parameter-free, "
+                        "checkpoint-compatible)")
     p.add_argument("--coord-weight", type=float, default=0.0,
                    help="weight of the soft-argmax coordinate loss (image-px "
                         "squared error between decoded predicted and target "
@@ -82,7 +87,7 @@ def main(argv=None):
     workers = args.num_workers or cfg.num_workers
     print(f"virtual batch: {n_images} images x {args.total} patches")
 
-    rn = RefineNet(dtype=jnp.float32)
+    rn = RefineNet(dtype=jnp.float32, upsample=args.upsample)
     tx = optax.adam(args.lr)
     tx, state = create_refinenet_state(rn, jax.random.PRNGKey(0), tx=tx)
 

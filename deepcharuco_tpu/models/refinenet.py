@@ -29,6 +29,16 @@ def _upsample_nearest_2x(x):
     return x.reshape(n, h * 2, w * 2, c)
 
 
+def _upsample_bilinear_2x(x):
+    """Bilinear ×2 upsample — smoother interpolation for the sub-pixel
+    heatmap path (beyond-parity option; upsampling carries no parameters, so
+    either mode loads the same checkpoints)."""
+    import jax
+
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, h * 2, w * 2, c), method="bilinear")
+
+
 class _ConvBNReluValid(nn.Module):
     """3×3 VALID-padding conv → BN → ReLU (RefineNet's shrinking early stage)."""
 
@@ -46,15 +56,23 @@ class _ConvBNReluValid(nn.Module):
 
 
 class RefineNet(nn.Module):
-    """(N, 24, 24, 1) patch → (N, 64, 64, 1) sub-pixel heatmap."""
+    """(N, 24, 24, 1) patch → (N, 64, 64, 1) sub-pixel heatmap.
+
+    ``upsample="nearest"`` (default) is reference parity; ``"bilinear"`` is
+    the beyond-parity smooth-interpolation variant — parameter-free, so both
+    modes share checkpoints/weights.
+    """
 
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    upsample: str = "nearest"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c1, c2, c3, c4, c5 = 64, 128, 128, 128, 64
         dt = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        up = (_upsample_bilinear_2x if self.upsample == "bilinear"
+              else _upsample_nearest_2x)
 
         x = x.astype(self.dtype)
         # Shrinking stage, VALID padding (ref refinenet.py:56-62): 24 → 16.
@@ -66,13 +84,13 @@ class RefineNet(nn.Module):
 
         x = ConvBNRelu(c3, name="conv3a", **dt)(x, train)
         x = ConvBNRelu(c3, name="conv3b", **dt)(x, train)
-        x = _upsample_nearest_2x(x)  # 8 → 16
+        x = up(x)  # 8 → 16
         x = ConvBNRelu(c4, name="conv4a", **dt)(x, train)
         x = ConvBNRelu(c4, name="conv4b", **dt)(x, train)
-        x = _upsample_nearest_2x(x)  # 16 → 32
+        x = up(x)  # 16 → 32
         x = ConvBNRelu(c5, name="conv5a", **dt)(x, train)
         x = ConvBNRelu(c5, name="conv5b", **dt)(x, train)
-        x = _upsample_nearest_2x(x)  # 32 → 64
+        x = up(x)  # 32 → 64
 
         # Head (ref refinenet.py:81-83): conv-bn-relu then 1×1, no activation.
         x = ConvBNRelu(64, name="convPa", **dt)(x, train)

@@ -205,13 +205,15 @@ def variables_from_npz(path: str):
 def load_pipeline(config: Config, deepc_ckpt: Optional[str] = None,
                   refinenet_ckpt: Optional[str] = None,
                   camera: Optional[Camera] = None,
-                  compute_dtype=jnp.bfloat16) -> "InferencePipeline":
+                  compute_dtype=jnp.bfloat16,
+                  rn_upsample: str = "nearest") -> "InferencePipeline":
     """Parity entry point for reference ``load_models`` + pipeline assembly."""
     dv = load_model_variables(deepc_ckpt, "detector", config.n_ids)
     rv = (load_model_variables(refinenet_ckpt, "refinenet")
           if refinenet_ckpt is not None else None)
     return InferencePipeline(config, dv, rv, camera=camera,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype,
+                             rn_upsample=rn_upsample)
 
 
 class InferencePipeline:
@@ -226,11 +228,13 @@ class InferencePipeline:
                  camera: Optional[Camera] = None,
                  compute_dtype=jnp.bfloat16, pnp_iters: int = 20,
                  soft_refine: bool = False,
-                 min_margin: Optional[float] = None):
+                 min_margin: Optional[float] = None,
+                 rn_upsample: str = "nearest"):
         self.config = config
         self.n_ids = config.n_ids
         self.detector = Detector(n_ids=config.n_ids, dtype=compute_dtype)
-        self.refinenet = RefineNet(dtype=compute_dtype) if rn_vars is not None else None
+        self.refinenet = (RefineNet(dtype=compute_dtype, upsample=rn_upsample)
+                          if rn_vars is not None else None)
         self.det_vars = jax.device_put(det_vars)
         self.rn_vars = jax.device_put(rn_vars) if rn_vars is not None else None
         self.camera = camera

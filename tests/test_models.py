@@ -50,6 +50,25 @@ def test_refinenet_shapes():
     assert out.shape == (3, 64, 64, 1)
 
 
+def test_refinenet_bilinear_mode_shares_checkpoints():
+    """The bilinear decoder is parameter-free: the SAME variables run in
+    both modes (distinct outputs, identical shapes/param tree)."""
+    import numpy as np
+
+    near = RefineNet(dtype=jnp.float32)
+    bilin = RefineNet(dtype=jnp.float32, upsample="bilinear")
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(2, 24, 24, 1)).astype(np.float32))
+    variables = near.init(jax.random.PRNGKey(0), x)
+    out_n = near.apply(variables, x)
+    out_b = bilin.apply(variables, x)   # same weights, different decoder
+    assert out_b.shape == out_n.shape == (2, 64, 64, 1)
+    assert np.isfinite(np.asarray(out_b)).all()
+    assert np.abs(np.asarray(out_b) - np.asarray(out_n)).max() > 0
+    assert (jax.tree.structure(bilin.init(jax.random.PRNGKey(0), x))
+            == jax.tree.structure(variables))
+
+
 def test_detector_train_mode_updates_batch_stats():
     model = Detector(n_ids=16, dtype=jnp.float32)
     x = jnp.ones((2, 48, 48, 1), jnp.float32) * 0.3
