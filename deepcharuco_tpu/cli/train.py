@@ -54,6 +54,10 @@ def build_argparser():
                         "wrong-cell decode outliers at the source")
     p.add_argument("--conf-margin", type=float, default=4.0,
                    help="logit margin the auxiliary loss enforces")
+    p.add_argument("--conf-topk", type=int, default=0,
+                   help="additionally hinge the K WORST background cells per "
+                        "image (hard-offender mining — the mean hinge "
+                        "dilutes per-offender gradient ~1200x); 0 = off")
     p.add_argument("--axis-snap-p", type=float, default=0.0,
                    help="with --device-synth: probability of snapping the "
                         "board rotation to the nearest 90° (±2°) with near-"
@@ -130,7 +134,8 @@ def main(argv=None):
                   "checkpoint; Adam moments reset)")
 
     step_fn = make_detector_train_step(det, tx, conf_weight=args.conf_weight,
-                                       conf_margin=args.conf_margin)
+                                       conf_margin=args.conf_margin,
+                                       conf_topk=args.conf_topk)
 
     mesh = None
     if args.data_parallel and len(jax.devices()) > 1:

@@ -68,7 +68,8 @@ def create_refinenet_state(rn: RefineNet, rng,
 
 def detector_loss_fn(det: Detector, params, batch_stats, images, loc_labels,
                      ids_labels, train: bool = True,
-                     conf_weight: float = 0.0, conf_margin: float = 4.0):
+                     conf_weight: float = 0.0, conf_margin: float = 4.0,
+                     conf_topk: int = 0):
     """CE(loc) + CE(ids); labels are (N, Hc, Wc) int maps (ref net.py:148-153,
     label construction data.py:14-51). Returns (loss, (aux, new_batch_stats)).
 
@@ -125,6 +126,18 @@ def detector_loss_fn(det: Detector, params, batch_stats, images, loc_labels,
         best_pos = jnp.max(loc_hat[..., :64], axis=-1)
         loc_bg_viol = jax.nn.relu(best_pos - loc_dust + conf_margin)
         loss_conf = loss_conf + jnp.mean(jnp.where(is_bg, loc_bg_viol, 0.0))
+        if conf_topk > 0:
+            # Hard-offender mining: the mean over ~1200 bg cells dilutes the
+            # hinge gradient ~1200× per offender — exactly why a handful of
+            # wrong-cells survive mean-hinge training while pushing the
+            # weight up suppresses real corners. A top-k mean over each
+            # image's WORST bg cells concentrates gradient on the actual
+            # offenders (satisfied cells contribute exactly 0) and leaves
+            # the fg margins untouched.
+            n = ids_hat.shape[0]
+            worst = jnp.where(is_bg, bg_viol + loc_bg_viol, 0.0).reshape(n, -1)
+            topk = jax.lax.top_k(worst, conf_topk)[0]      # (N, k)
+            loss_conf = loss_conf + jnp.mean(topk)
         loss = loss + conf_weight * loss_conf
         aux = {**aux, "loss": loss, "loss_conf": loss_conf}
     return loss, (aux, new_stats, out)
@@ -172,13 +185,15 @@ def refinenet_loss_fn(rn: RefineNet, params, batch_stats, patches, heatmaps,
 def make_detector_train_step(det: Detector,
                              tx: optax.GradientTransformation,
                              conf_weight: float = 0.0,
-                             conf_margin: float = 4.0) -> Callable:
+                             conf_margin: float = 4.0,
+                             conf_topk: int = 0) -> Callable:
     def step(state: TrainState, images, loc_labels, ids_labels):
         (loss, (aux, new_stats, _)), grads = jax.value_and_grad(
             lambda p: detector_loss_fn(det, p, state.batch_stats, images,
                                        loc_labels, ids_labels,
                                        conf_weight=conf_weight,
-                                       conf_margin=conf_margin),
+                                       conf_margin=conf_margin,
+                                       conf_topk=conf_topk),
             has_aux=True,
         )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
