@@ -133,11 +133,15 @@ def detector_loss_fn(det: Detector, params, batch_stats, images, loc_labels,
             # weight up suppresses real corners. A top-k mean over each
             # image's WORST bg cells concentrates gradient on the actual
             # offenders (satisfied cells contribute exactly 0) and leaves
-            # the fg margins untouched.
+            # the fg margins untouched. EXPERIMENTAL (BENCH_NOTES "Top-k
+            # hard-offender hinge"): the pool is dominated by corner-ADJACENT
+            # cells (the true response bleeds across cell borders) and even
+            # at this 0.1× scale recall degrades (0.96 → 0.82 measured);
+            # needs a corner-neighborhood exclusion mask before it's useful.
             n = ids_hat.shape[0]
             worst = jnp.where(is_bg, bg_viol + loc_bg_viol, 0.0).reshape(n, -1)
             topk = jax.lax.top_k(worst, conf_topk)[0]      # (N, k)
-            loss_conf = loss_conf + jnp.mean(topk)
+            loss_conf = loss_conf + 0.1 * jnp.mean(topk)
         loss = loss + conf_weight * loss_conf
         aux = {**aux, "loss": loss, "loss_conf": loss_conf}
     return loss, (aux, new_stats, out)
