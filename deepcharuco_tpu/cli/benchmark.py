@@ -53,14 +53,39 @@ def _frame(cfg, args):
     return frame
 
 
-def _time_fn(fn, args_tuple, iters, warmup):
+def _input_variants(x, n: int = 8):
+    """Device-resident content-varied copies of a frame batch: per-copy iid
+    noise defeats the tunnel's identical-execution replay (CLAUDE.md
+    measurement hygiene; a repeated SAME-payload dispatch can read impossibly
+    fast). Inputs stay resident, so the loop still times dispatch+compute,
+    not transfer."""
+    import jax
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    host = np.asarray(x)
+    out = []
+    for _ in range(n):
+        if host.dtype == np.uint8:
+            noise = rng.integers(-15, 16, host.shape, dtype=np.int16)
+            v = np.clip(host.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+        else:
+            v = (host + rng.normal(0, 0.01, host.shape)).astype(host.dtype)
+        out.append(jax.device_put(v))
+    return out
+
+
+def _time_fn(fn, args_tuples, iters, warmup):
+    """Time ``fn`` over a *list* of argument tuples, cycled per iteration —
+    every call gets content-varied input (see :func:`_input_variants`)."""
     import jax
 
-    for _ in range(warmup):
-        out = fn(*args_tuple)
+    n = len(args_tuples)
+    for i in range(warmup):
+        out = fn(*args_tuples[i % n])
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    outs = [fn(*args_tuple) for _ in range(iters)]
+    outs = [fn(*args_tuples[i % n]) for i in range(iters)]
     jax.block_until_ready(outs)
     return time.perf_counter() - t0
 
@@ -106,7 +131,8 @@ def main(argv=None):
     else:
         fn = jax.jit(lambda dv, rv, x: two_stage_forward(det, rn, dv, rv, x, cfg.n_ids))
 
-    dt = _time_fn(fn, (dv, rv, x), args.iters, args.warmup)
+    xs = _input_variants(x)
+    dt = _time_fn(fn, [(dv, rv, v) for v in xs], args.iters, args.warmup)
     fps = args.batch * args.iters / dt
     label = "full+pose" if args.with_pose else "two-stage"
     print(f"{label}: {fps:.1f} fps  ({dt / args.iters * 1000:.2f} ms / batch of {args.batch})")
@@ -115,10 +141,10 @@ def main(argv=None):
         from deepcharuco_tpu.ops import normalize_gray
 
         det_fn = jax.jit(lambda dv, x: det.apply(dv, normalize_gray(x)))
-        dt_d = _time_fn(det_fn, (dv, x), args.iters, args.warmup)
+        dt_d = _time_fn(det_fn, [(dv, v) for v in xs], args.iters, args.warmup)
         print(f"detector-only: {args.batch * args.iters / dt_d:.1f} fps")
         two = jax.jit(lambda dv, rv, x: two_stage_forward(det, rn, dv, rv, x, cfg.n_ids))
-        dt_2 = _time_fn(two, (dv, rv, x), args.iters, args.warmup)
+        dt_2 = _time_fn(two, [(dv, rv, v) for v in xs], args.iters, args.warmup)
         print(f"two-stage: {args.batch * args.iters / dt_2:.1f} fps")
 
     if args.fused_head:
@@ -148,8 +174,9 @@ def main(argv=None):
         agree_valid = float((vx == vf).mean())
         agree_kpts = float((np.abs(kx - kf).max(-1)[both] < 1e-6).mean()) \
             if both.any() else 1.0
-        dt_x = _time_fn(xla_fn, (dv, x), args.iters, args.warmup)
-        dt_f = _time_fn(fused_fn, (dv, folded, x), args.iters, args.warmup)
+        dt_x = _time_fn(xla_fn, [(dv, v) for v in xs], args.iters, args.warmup)
+        dt_f = _time_fn(fused_fn, [(dv, folded, v) for v in xs],
+                        args.iters, args.warmup)
         print(f"detector→keypoints XLA:   {args.batch * args.iters / dt_x:.1f} fps "
               f"({dt_x / args.iters * 1000:.2f} ms/batch)")
         print(f"detector→keypoints fused: {args.batch * args.iters / dt_f:.1f} fps "
