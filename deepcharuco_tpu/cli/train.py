@@ -139,10 +139,16 @@ def main(argv=None):
 
     mesh = None
     if args.data_parallel and len(jax.devices()) > 1:
+        n_dev = len(jax.devices())
         n_sp = max(1, args.mesh_spatial)
-        mesh = make_mesh(n_data=len(jax.devices()) // n_sp, n_spatial=n_sp)
+        if n_dev % n_sp != 0:
+            raise SystemExit(
+                f"--mesh-spatial {n_sp} does not divide the device count "
+                f"{n_dev}; {n_dev % n_sp} device(s) would sit idle — pick a "
+                "divisor")
+        mesh = make_mesh(n_data=n_dev // n_sp, n_spatial=n_sp)
         state = replicate(mesh, state)
-        print(f"data-parallel over {len(jax.devices())} devices "
+        print(f"data-parallel over {n_dev} devices "
               f"(mesh {mesh.shape['data']}x{mesh.shape['spatial']} "
               "data×spatial)")
 

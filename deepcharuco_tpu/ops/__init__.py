@@ -2,7 +2,9 @@ from deepcharuco_tpu.ops.image import bgr_to_gray, normalize_gray, preprocess_bg
 from deepcharuco_tpu.ops.decode import (
     pred_argmax,
     label_to_keypoints,
+    label_to_keypoints_topk,
     pred_to_keypoints,
+    pred_to_keypoints_topk,
     heatmap_argmax2d,
     refine_keypoints,
     refine_keypoints_soft,
@@ -16,7 +18,9 @@ __all__ = [
     "preprocess_bgr",
     "pred_argmax",
     "label_to_keypoints",
+    "label_to_keypoints_topk",
     "pred_to_keypoints",
+    "pred_to_keypoints_topk",
     "heatmap_argmax2d",
     "refine_keypoints",
     "refine_keypoints_soft",

@@ -7,13 +7,15 @@ keypoints. Variable shapes don't jit, so here decode emits **fixed-capacity,
 id-indexed** arrays: one slot per corner id, plus a validity mask. Everything
 downstream (patch gather, RefineNet, PnP) runs masked at full capacity.
 
-Behavioral delta vs the reference (documented, tested): when several cells
-claim the same corner id, the reference keeps *all* of them
-(``model_utils.py:111-123``), while we keep the single cell with the highest
-ids-head confidence. For a physical board each id exists once, so on real
-detections the two decodes agree; duplicate-id cells are model noise that the
-reference's downstream consumers (PnP by id, metrics by id) effectively
-collapse anyway.
+Default-mode behavioral delta vs the reference (documented, tested): when
+several cells claim the same corner id, the reference keeps *all* of them
+(``model_utils.py:111-123``), while :func:`label_to_keypoints` keeps the
+single cell with the highest ids-head confidence. For a physical board each
+id exists once, so on real detections the two decodes agree; duplicate-id
+cells are model noise that the reference's downstream consumers (PnP by id,
+metrics by id) effectively collapse anyway. When unconditional parity is
+required, :func:`label_to_keypoints_topk` / :func:`pred_to_keypoints_topk`
+preserve duplicates exactly (capacity-K slots per id) — zero deltas.
 
 Coordinate convention (identical to reference ``model_utils.py:118-122``):
 ``x = 8·col + pix % 8``, ``y = 8·row + pix // 8`` with ``pix`` the loc-head
@@ -87,6 +89,72 @@ def label_to_keypoints(loc: jnp.ndarray, ids: jnp.ndarray, dust_bin_ids: int,
     y = 8 * row + pix // 8
     keypoints = jnp.stack([x, y], axis=-1).astype(jnp.float32)
     return keypoints, valid
+
+
+def label_to_keypoints_topk(loc: jnp.ndarray, ids: jnp.ndarray,
+                            dust_bin_ids: int, capacity: int = 4,
+                            scores: jnp.ndarray | None = None):
+    """Duplicate-preserving decode: up to ``capacity`` cells PER corner id.
+
+    The reference keeps *every* non-dustbin cell, so several cells claiming
+    the same id all survive (``src/models/model_utils.py:111-123``). The
+    default :func:`label_to_keypoints` collapses those to one winner per id —
+    the one documented behavioral delta. This variant closes it: with
+    ``capacity`` ≥ the true duplicate multiplicity (a 320×240 frame has 1200
+    cells; physical boards produce ≤2–3 duplicates from model noise), the
+    decoded *set* of (x, y, id) equals the reference's exactly
+    (``tests/test_decode.py`` round-trips random maps incl. duplicates).
+
+    Returns
+    -------
+    keypoints : (N, n_ids, capacity, 2) float32 — slot [*, k, j] is the
+        j-th highest-score cell claiming id k (score order; ties broken by
+        ascending cell index, matching ``jax.lax.top_k``).
+    valid : (N, n_ids, capacity) bool.
+    """
+    n, hc, wc = loc.shape
+    m = hc * wc
+    n_ids = dust_bin_ids
+    loc_f = loc.reshape(n, m)
+    ids_f = ids.reshape(n, m)
+    mask = ids_f != dust_bin_ids
+
+    if scores is None:
+        score_f = jnp.broadcast_to(
+            jnp.arange(m, dtype=jnp.float32)[None, :], (n, m))
+    else:
+        score_f = scores.reshape(n, m).astype(jnp.float32)
+
+    id_range = jnp.arange(n_ids, dtype=ids_f.dtype)
+    claims = (ids_f[:, None, :] == id_range[None, :, None]) & mask[:, None, :]
+    neg_inf = jnp.float32(-jnp.inf)
+    sel = jnp.where(claims, score_f[:, None, :], neg_inf)  # (N, n_ids, M)
+    top_scores, top_cells = jax.lax.top_k(sel, capacity)   # (N, n_ids, C)
+    valid = jnp.isfinite(top_scores)
+
+    row = top_cells // wc
+    col = top_cells % wc
+    pix = jnp.take_along_axis(loc_f[:, None, :], top_cells, axis=-1)
+    x = 8 * col + pix % 8
+    y = 8 * row + pix // 8
+    keypoints = jnp.stack([x, y], axis=-1).astype(jnp.float32)
+    return keypoints, valid
+
+
+def pred_to_keypoints_topk(loc_hat: jnp.ndarray, ids_hat: jnp.ndarray,
+                           dust_bin_ids: int, capacity: int = 4,
+                           min_margin: float | None = None):
+    """Model heads → duplicate-preserving keypoints (see
+    :func:`label_to_keypoints_topk`). With sufficient ``capacity`` this is an
+    exact static-shape image of the reference's variable-length
+    ``pred_to_keypoints`` (``model_utils.py:81-88``), duplicates included."""
+    loc_argmax, ids_argmax = pred_argmax(loc_hat, ids_hat, dust_bin_ids)
+    conf = jnp.max(ids_hat, axis=-1)
+    if min_margin is not None:
+        margin = conf - ids_hat[..., dust_bin_ids]
+        ids_argmax = jnp.where(margin >= min_margin, ids_argmax, dust_bin_ids)
+    return label_to_keypoints_topk(loc_argmax, ids_argmax, dust_bin_ids,
+                                   capacity=capacity, scores=conf)
 
 
 def pred_to_keypoints(loc_hat: jnp.ndarray, ids_hat: jnp.ndarray, dust_bin_ids: int,

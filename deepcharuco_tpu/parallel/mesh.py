@@ -18,11 +18,21 @@ and XLA chooses psum/all-gather placement.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _warn_unsharded(axis: str, dim_size: int, n: int, what: str) -> None:
+    """A divisibility miss silently leaves the dimension replicated — say so
+    (no silent caps; ADVICE r2). Fires at trace/placement time, not per step."""
+    warnings.warn(
+        f"{what}: size {dim_size} not divisible by mesh axis '{axis}' ({n}) — "
+        f"dimension left UNPARTITIONED (replicated); that axis does no work",
+        stacklevel=3)
 
 
 def make_mesh(n_data: Optional[int] = None, n_spatial: int = 1,
@@ -49,9 +59,13 @@ def shard_batch(mesh: Mesh, batch, spatial_dim: Optional[int] = 1):
     def put(x):
         spec = [None] * x.ndim
         spec[0] = "data"
-        if spatial_dim is not None and x.ndim > spatial_dim and \
-                mesh.shape["spatial"] > 1 and x.shape[spatial_dim] % mesh.shape["spatial"] == 0:
-            spec[spatial_dim] = "spatial"
+        if (spatial_dim is not None and x.ndim > spatial_dim
+                and mesh.shape["spatial"] > 1):
+            if x.shape[spatial_dim] % mesh.shape["spatial"] == 0:
+                spec[spatial_dim] = "spatial"
+            else:
+                _warn_unsharded("spatial", x.shape[spatial_dim],
+                                mesh.shape["spatial"], "shard_batch")
         return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree.map(put, batch)
@@ -80,9 +94,16 @@ def sharded_inference(fn, mesh: Mesh, frames_argnum: int = -1):
         spec = [None] * frames.ndim
         if frames.shape[0] % mesh.shape["data"] == 0:
             spec[0] = "data"
-        if (mesh.shape["spatial"] > 1 and frames.ndim > 1
-                and frames.shape[1] % mesh.shape["spatial"] == 0):
-            spec[1] = "spatial"
+        elif mesh.shape["data"] > 1:
+            _warn_unsharded("data", frames.shape[0], mesh.shape["data"],
+                            "sharded_inference batch")
+        if mesh.shape["spatial"] > 1 and frames.ndim > 1:
+            if frames.shape[1] % mesh.shape["spatial"] == 0:
+                spec[1] = "spatial"
+            else:
+                _warn_unsharded("spatial", frames.shape[1],
+                                mesh.shape["spatial"],
+                                "sharded_inference height")
         args[frames_argnum] = jax.lax.with_sharding_constraint(
             frames, NamedSharding(mesh, P(*spec)))
         return fn(*args)
@@ -95,8 +116,12 @@ def shard_frames(mesh: Mesh, frames):
     over 'spatial' (when divisible)."""
     spec = [None] * frames.ndim
     spec[0] = "data"
-    if mesh.shape["spatial"] > 1 and frames.shape[1] % mesh.shape["spatial"] == 0:
-        spec[1] = "spatial"
+    if mesh.shape["spatial"] > 1:
+        if frames.shape[1] % mesh.shape["spatial"] == 0:
+            spec[1] = "spatial"
+        else:
+            _warn_unsharded("spatial", frames.shape[1], mesh.shape["spatial"],
+                            "shard_frames")
     return jax.device_put(frames, NamedSharding(mesh, P(*spec)))
 
 
@@ -153,9 +178,13 @@ def sharded_synth_train_program(step_fn, sample_fn, mesh: Mesh,
             spec = [None] * x.ndim
             spec[0] = "data"
             if (i == 0 and spatial_dim is not None
-                    and mesh.shape["spatial"] > 1 and x.ndim > spatial_dim
-                    and x.shape[spatial_dim] % mesh.shape["spatial"] == 0):
-                spec[spatial_dim] = "spatial"
+                    and mesh.shape["spatial"] > 1 and x.ndim > spatial_dim):
+                if x.shape[spatial_dim] % mesh.shape["spatial"] == 0:
+                    spec[spatial_dim] = "spatial"
+                else:
+                    _warn_unsharded("spatial", x.shape[spatial_dim],
+                                    mesh.shape["spatial"],
+                                    "synth_train_program image height")
             out.append(jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, P(*spec))))
         return tuple(out)

@@ -39,7 +39,8 @@ from deepcharuco_tpu.pnp import solve_pnp
 
 @dataclasses.dataclass(frozen=True)
 class Camera:
-    """Intrinsics (cv2 conventions; dist = [k1, k2, p1, p2, k3])."""
+    """Intrinsics (cv2 conventions; dist = [k1, k2, p1, p2, k3, k4, k5, k6,
+    s1, s2, s3, s4] — 4/5/8/12-coefficient vectors accepted, zero-padded)."""
 
     K: np.ndarray
     dist: np.ndarray
@@ -47,13 +48,22 @@ class Camera:
     @classmethod
     def from_npz(cls, path: str) -> "Camera":
         """Load the reference's ``camera_params.npz`` format
-        (``src/pose_estimation.py:35-37``)."""
+        (``src/pose_estimation.py:35-37``).
+
+        cv2 legally emits 4, 5, 8, 12 or 14 coefficients. The on-device
+        projection model (``pnp/projection.distort``) implements the full
+        rational + thin-prism model (first 12), so those load exactly;
+        the 14-coefficient tilted-sensor model is NOT supported and raises
+        (silently truncating it would *change* the camera model).
+        """
         data = np.load(path)
-        raw = np.asarray(data["distortion_coeffs"], np.float32).ravel()[:5]
-        # cv2 legally emits 4, 5, 8, 12 or 14 coeffs; the projection model
-        # uses [k1, k2, p1, p2, k3] — zero-pad short vectors so dist[4] is
-        # always valid inside the jit.
-        dist = np.zeros(5, np.float32)
+        raw = np.asarray(data["distortion_coeffs"], np.float32).ravel()
+        if raw.size not in (0, 4, 5, 8, 12):
+            raise ValueError(
+                f"{raw.size}-coefficient distortion model unsupported "
+                "(cv2 tilted-sensor τx/τy terms have no on-device "
+                "implementation); re-calibrate without CALIB_TILTED_MODEL")
+        dist = np.zeros(12, np.float32)
         dist[: raw.size] = raw
         return cls(K=np.asarray(data["camera_matrix"], np.float32), dist=dist)
 

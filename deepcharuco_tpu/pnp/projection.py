@@ -52,18 +52,45 @@ def rodrigues_inverse(R: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(near_zero, w * 0.5, out)
 
 
-def distort(xn: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
-    """Apply Brown–Conrady distortion to normalized coords.
+def _dist12(dist: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad a 4/5/8/12-coefficient cv2 distortion vector to length 12.
 
-    xn: (..., 2) ideal normalized image coords; dist: (5,) = k1,k2,p1,p2,k3.
+    cv2 order: [k1, k2, p1, p2, k3, k4, k5, k6, s1, s2, s3, s4]. The length
+    is static under jit, so the pad resolves at trace time. The 14-element
+    tilted-sensor model (τx, τy) is rejected upstream (``Camera.from_npz``).
     """
-    k1, k2, p1, p2, k3 = dist[0], dist[1], dist[2], dist[3], dist[4]
+    d = jnp.asarray(dist, jnp.float32).ravel()
+    n = d.shape[0]
+    if n > 12:
+        raise ValueError(
+            f"{n}-coefficient distortion (tilted-sensor model) unsupported")
+    if n < 12:
+        d = jnp.concatenate([d, jnp.zeros(12 - n, jnp.float32)])
+    return d
+
+
+def distort(xn: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
+    """Apply cv2's rational + thin-prism distortion to normalized coords.
+
+    xn: (..., 2) ideal normalized image coords; dist: 4/5/8/12 cv2
+    coefficients (see :func:`_dist12`). With only the first 5 non-zero this
+    reduces to the plain Brown–Conrady model; the rational denominator
+    (k4..k6) and thin-prism terms (s1..s4) match ``cv2.projectPoints``
+    (conventions used at reference ``src/pose_estimation.py:35-37``).
+    """
+    d = _dist12(dist)
+    k1, k2, p1, p2, k3 = d[0], d[1], d[2], d[3], d[4]
+    k4, k5, k6 = d[5], d[6], d[7]
+    s1, s2, s3, s4 = d[8], d[9], d[10], d[11]
     x, y = xn[..., 0], xn[..., 1]
     r2 = x * x + y * y
-    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    radial = ((1.0 + r2 * (k1 + r2 * (k2 + r2 * k3)))
+              / (1.0 + r2 * (k4 + r2 * (k5 + r2 * k6))))
     xy = x * y
-    xd = x * radial + 2.0 * p1 * xy + p2 * (r2 + 2.0 * x * x)
-    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * xy
+    xd = (x * radial + 2.0 * p1 * xy + p2 * (r2 + 2.0 * x * x)
+          + r2 * (s1 + s2 * r2))
+    yd = (y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * xy
+          + r2 * (s3 + s4 * r2))
     return jnp.stack([xd, yd], axis=-1)
 
 

@@ -165,7 +165,8 @@ def solve_pnp(object_points: jnp.ndarray, image_points: jnp.ndarray,
     object_points : (N, 3) board points (z=0 plane), slot k = corner id k.
     image_points : (N, 2) detected pixels (same slots).
     valid : (N,) bool slot occupancy.
-    K : (3, 3) camera matrix;  dist : (5,) Brown coeffs [k1,k2,p1,p2,k3].
+    K : (3, 3) camera matrix;  dist : 4/5/8/12 cv2 coefficients
+        (rational + thin-prism model, see ``projection.distort``).
 
     Returns
     -------

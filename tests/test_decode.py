@@ -162,3 +162,77 @@ def test_refine_keypoints_mapping():
     ref = np.asarray(refine_keypoints(jnp.asarray(heat), kpts))
     np.testing.assert_allclose(ref[0], [100.0, 50.0])
     np.testing.assert_allclose(ref[1], [6.0, 10.0])
+
+
+def test_topk_decode_preserves_duplicates_sparse():
+    """Capacity-K decode round-trips random sparse label maps against the
+    reference's keep-every-cell semantics (model_utils.py:111-123), with
+    several cells intentionally claiming the SAME id — the case the default
+    one-slot decode collapses (its one documented delta). Zero deltas here."""
+    from deepcharuco_tpu.ops import pred_to_keypoints_topk
+
+    rng = np.random.default_rng(42)
+    hc, wc = 30, 40
+    for trial in range(8):
+        loc_hat = np.zeros((1, hc, wc, 65), np.float32)
+        ids_hat = np.zeros((1, hc, wc, N_IDS + 1), np.float32)
+        loc_hat[..., 64] = 1.0
+        ids_hat[..., N_IDS] = 1.0
+        for k in range(N_IDS):
+            for _ in range(int(rng.integers(0, 5))):  # 0..4 claims per id
+                r, c = int(rng.integers(hc)), int(rng.integers(wc))
+                loc_hat[0, r, c] = 0.0
+                loc_hat[0, r, c, int(rng.integers(64))] = 5.0
+                ids_hat[0, r, c] = 0.0
+                ids_hat[0, r, c, k] = 5.0 + rng.random()
+        # independent numpy statement of the reference decode (ALL cells)
+        loc_arg = loc_hat.argmax(-1)
+        ids_arg = ids_hat.argmax(-1)
+        ids_arg[loc_arg == 64] = N_IDS
+        ref_set = set()
+        for r in range(hc):
+            for c in range(wc):
+                k = ids_arg[0, r, c]
+                if k == N_IDS:
+                    continue
+                pix = loc_arg[0, r, c]
+                ref_set.add((8 * c + pix % 8, 8 * r + pix // 8, k))
+
+        kpts, valid = pred_to_keypoints_topk(jnp.asarray(loc_hat),
+                                             jnp.asarray(ids_hat), N_IDS,
+                                             capacity=4)
+        kpts, valid = np.asarray(kpts), np.asarray(valid)
+        assert kpts.shape == (1, N_IDS, 4, 2)
+        got = {(float(kpts[0, k, j, 0]), float(kpts[0, k, j, 1]), k)
+               for k in range(N_IDS) for j in range(4) if valid[0, k, j]}
+        assert got == ref_set
+
+
+def test_topk_decode_full_capacity_dense():
+    """With capacity = number of cells, the top-k decode equals the reference
+    set exactly even on dense random logits (every cell claims some id)."""
+    from deepcharuco_tpu.ops import pred_to_keypoints_topk
+
+    rng = np.random.default_rng(7)
+    hc, wc = 8, 10
+    cap = hc * wc
+    loc_hat = rng.normal(size=(1, hc, wc, 65)).astype(np.float32)
+    ids_hat = rng.normal(size=(1, hc, wc, N_IDS + 1)).astype(np.float32)
+    loc_arg = loc_hat.argmax(-1)
+    ids_arg = ids_hat.argmax(-1)
+    ids_arg[loc_arg == 64] = N_IDS
+    ref_set = set()
+    for r in range(hc):
+        for c in range(wc):
+            k = ids_arg[0, r, c]
+            if k == N_IDS:
+                continue
+            pix = loc_arg[0, r, c]
+            ref_set.add((8 * c + pix % 8, 8 * r + pix // 8, k))
+    kpts, valid = pred_to_keypoints_topk(jnp.asarray(loc_hat),
+                                         jnp.asarray(ids_hat), N_IDS,
+                                         capacity=cap)
+    kpts, valid = np.asarray(kpts), np.asarray(valid)
+    got = {(float(kpts[0, k, j, 0]), float(kpts[0, k, j, 1]), k)
+           for k in range(N_IDS) for j in range(cap) if valid[0, k, j]}
+    assert got == ref_set

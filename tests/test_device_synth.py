@@ -65,7 +65,9 @@ def test_axis_snap_produces_axis_aligned_boards():
             checked += 1
     assert checked >= 5
 
-    # default (axis_snap_p=0) is bit-identical to the pre-flag stream
+    # default and explicit axis_snap_p=0.0 produce the same stream (both
+    # run the current 7-way key split; this does NOT witness equality with
+    # the pre-flag code — ADVICE r2 — it guards the flag's default wiring)
     a = DeviceSynthesizer(CFG).batch(jax.random.PRNGKey(3), 2)
     b = DeviceSynthesizer(CFG, axis_snap_p=0.0).batch(jax.random.PRNGKey(3), 2)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
