@@ -37,8 +37,20 @@ def build_argparser():
                    default="nearest",
                    help="RefineNet decoder upsampling mode (weights are "
                         "mode-agnostic; match how the net was trained)")
+    p.add_argument("--rn-patch-size", type=int, choices=[24, 32], default=24,
+                   help="RefineNet input patch size (must match the "
+                        "checkpoint: 24 parity / 32 wider-context)")
     p.add_argument("--images", default=None)
     p.add_argument("--labels", default=None)
+    p.add_argument("--frontal", action="store_true",
+                   help="device source: frontal probe — axis-snapped "
+                        "geometry (n·90° ±2°, near-zero shear, translation "
+                        "±0.1) with the STANDARD photometric pipeline; the "
+                        "in-distribution frontal eval (the old clean-render "
+                        "probe was photometrically off-distribution)")
+    p.add_argument("--scale", type=float, default=None,
+                   help="device source: pin the board scale (e.g. 1.0 for "
+                        "the full-frame frontal probe)")
     return p
 
 
@@ -62,7 +74,8 @@ def main(argv=None):
 
     cfg = load_configuration(args.config) if args.config else default_config()
     det = Detector(n_ids=cfg.n_ids, dtype=jnp.float32)
-    rn = RefineNet(dtype=jnp.float32, upsample=args.rn_upsample)
+    rn = RefineNet(dtype=jnp.float32, upsample=args.rn_upsample,
+                   patch_size=args.rn_patch_size)
     dv = load_model_variables(args.deepc, "detector", cfg.n_ids)
     rv = load_model_variables(args.refinenet, "refinenet")
     if args.deepc is None:
@@ -73,7 +86,7 @@ def main(argv=None):
         out = det.apply(dv, images)
         kp, valid = pred_to_keypoints(out["loc"], out["ids"], cfg.n_ids,
                                       min_margin=args.min_margin)
-        patches = extract_patches(images, kp)
+        patches = extract_patches(images, kp, patch_size=args.rn_patch_size)
         n, k, p, _ = patches.shape
         heat = rn.apply(rv, patches.reshape(n * k, p, p, 1))
         heat = heat.reshape(n, k, 64, 64)
@@ -90,7 +103,12 @@ def main(argv=None):
     if args.source == "device":
         from deepcharuco_tpu.data.device_synth import DeviceSynthesizer
 
-        synth = DeviceSynthesizer(cfg)
+        sr = (args.scale, args.scale + 1e-4) if args.scale else None
+        synth = DeviceSynthesizer(cfg, negative_p=0.0 if args.frontal else 0.05,
+                                  axis_snap_p=1.0 if args.frontal else 0.0,
+                                  scale_range=sr)
+        if args.frontal:
+            synth.translate_frac = (-0.1, 0.1)  # keep the board in frame
         if args.truth == "subpixel":
             full_fn = jax.jit(lambda key: jax.vmap(synth._sample_full)(
                 jax.random.split(key, bs)))

@@ -57,12 +57,28 @@ def build_argparser():
     p.add_argument("--conf-topk", type=int, default=0,
                    help="additionally hinge the K WORST background cells per "
                         "image (hard-offender mining — the mean hinge "
-                        "dilutes per-offender gradient ~1200x); 0 = off")
+                        "dilutes per-offender gradient ~1200x); cells in the "
+                        "3x3 neighborhood of a true corner are excluded from "
+                        "the pool (the corner response legitimately bleeds "
+                        "across cell borders); 0 = off")
     p.add_argument("--axis-snap-p", type=float, default=0.0,
                    help="with --device-synth: probability of snapping the "
                         "board rotation to the nearest 90° (±2°) with near-"
                         "zero shear — trains the frontal axis-aligned poses "
                         "the uniform ±360° diet almost never produces")
+    p.add_argument("--scale-max", type=float, default=None,
+                   help="with --device-synth: raise the board scale range's "
+                        "upper end (reference parity is 0.9; 1.05 teaches "
+                        "full-frame boards, where frontal probes failed)")
+    p.add_argument("--bg-bank", type=int, default=0,
+                   help="with --device-synth: upload N grayscale background "
+                        "images ONCE (from --images/--labels, else the host "
+                        "procedural source) and composite boards onto random "
+                        "rotated/flipped crops of them on device — closes "
+                        "the procedural-vs-photo background diet gap")
+    p.add_argument("--bg-bank-p", type=float, default=0.5,
+                   help="probability a sample draws its background from the "
+                        "bank instead of the procedural generator")
     p.add_argument("--mixed-host-every", type=int, default=0,
                    help="with --device-synth: every Nth dispatch trains on a "
                         "HOST-pipeline batch (full reference augmentation "
@@ -157,9 +173,21 @@ def main(argv=None):
     host_feed = None
     host_val_ds = None
     if args.device_synth:
-        from deepcharuco_tpu.data.device_synth import DeviceSynthesizer
+        from deepcharuco_tpu.data.device_synth import (
+            DeviceSynthesizer,
+            make_background_bank,
+        )
 
-        device_synth = DeviceSynthesizer(cfg, axis_snap_p=args.axis_snap_p)
+        bank = None
+        if args.bg_bank > 0:
+            print(f"building {args.bg_bank}-image background bank...",
+                  flush=True)
+            bank = make_background_bank(args.bg_bank, labels=args.labels,
+                                        images_folder=args.images)
+        device_synth = DeviceSynthesizer(
+            cfg, axis_snap_p=args.axis_snap_p, bg_bank=bank,
+            bg_bank_p=args.bg_bank_p,
+            scale_range=((0.25, args.scale_max) if args.scale_max else None))
         K = max(1, args.fused_steps)
         from deepcharuco_tpu.parallel import (
             sharded_synth_train_program,

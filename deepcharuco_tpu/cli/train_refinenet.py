@@ -45,6 +45,13 @@ def build_argparser():
                         "(reference parity, data_refinenet.py:84-91); default "
                         "is continuous sub-pixel Gaussian centers for the "
                         "soft-argmax decode")
+    p.add_argument("--patch-size", type=int, choices=[24, 32], default=24,
+                   help="input patch size: 24 = reference parity; 32 = "
+                        "wider-context variant (~33%% more board-edge "
+                        "support pixels — targets the measured 0.37 px "
+                        "input-information floor). Requires --device-synth; "
+                        "--init-npz with 24-patch weights warm-starts the "
+                        "shared layers (new conv2c/2d train fresh)")
     p.add_argument("--upsample", choices=["nearest", "bilinear"],
                    default="nearest",
                    help="decoder upsampling: nearest = reference parity; "
@@ -87,16 +94,25 @@ def main(argv=None):
     workers = args.num_workers or cfg.num_workers
     print(f"virtual batch: {n_images} images x {args.total} patches")
 
-    rn = RefineNet(dtype=jnp.float32, upsample=args.upsample)
+    if args.patch_size != 24 and not args.device_synth:
+        raise SystemExit("--patch-size 32 requires --device-synth (the host "
+                         "RefineNetDataset emits reference-parity 24x24)")
+    rn = RefineNet(dtype=jnp.float32, upsample=args.upsample,
+                   patch_size=args.patch_size)
     tx = optax.adam(args.lr)
     tx, state = create_refinenet_state(rn, jax.random.PRNGKey(0), tx=tx)
 
     if args.init_npz:
-        from deepcharuco_tpu.pipeline import variables_from_npz
+        from deepcharuco_tpu.pipeline import merge_variables, variables_from_npz
 
         v = variables_from_npz(args.init_npz)
-        state = state.replace(params=v["params"], batch_stats=v["batch_stats"])
-        print(f"initialized weights from {args.init_npz}")
+        merged, loaded, skipped = merge_variables(
+            {"params": state.params, "batch_stats": state.batch_stats}, v)
+        state = state.replace(params=merged["params"],
+                              batch_stats=merged["batch_stats"])
+        print(f"initialized {len(loaded)} arrays from {args.init_npz}"
+              + (f" ({len(skipped)} kept fresh/skipped — expected when "
+                 "warm-starting a different patch size)" if skipped else ""))
 
     ckpts = CheckpointManager(args.ckpt_dir, top_k=args.top_k)
     if args.resume:
@@ -125,9 +141,11 @@ def main(argv=None):
         )
 
         cont = not args.rounded_targets
-        device_synth = (FramePatchSynthesizer(cfg, continuous_targets=cont)
+        device_synth = (FramePatchSynthesizer(cfg, continuous_targets=cont,
+                                              patch_size=args.patch_size)
                         if args.frame_patches
-                        else DeviceRefineSynthesizer(cfg, continuous_targets=cont))
+                        else DeviceRefineSynthesizer(cfg, continuous_targets=cont,
+                                                     patch_size=args.patch_size))
         batch_gen = device_synth.batch_fn(bs_patches)
         val_batch_fn = device_synth.batch_fn(32)
 
@@ -150,7 +168,8 @@ def main(argv=None):
         feed = device_prefetch(loader, size=2)
 
     def flatten(batch):
-        p = batch["patches"].reshape(-1, 24, 24, 1)
+        ps = args.patch_size
+        p = batch["patches"].reshape(-1, ps, ps, 1)
         h = batch["heatmaps"].reshape(-1, 64, 64, 1)
         return p, h
 

@@ -16,9 +16,11 @@ Distribution parity with ``src/transformations.py`` (documented deltas):
   (``pre_bgr_image``), so the reference's color-space jitters (ColorJitter /
   RGBShift) act on the input only through their luma projection — modeled
   here by brightness/contrast/noise on the gray channel.
-- Backgrounds are procedural (low-frequency gradients + blobs + noise), not
-  COCO photos; the host-side pipeline remains available when a photo corpus
-  exists.
+- Backgrounds are procedural (low-frequency gradients + blobs + noise) by
+  default; a device-resident photo bank (``bg_bank`` / ``--bg-bank``) mixes
+  in rotated/flipped crops of real or host-generated images uploaded once at
+  start — the on-device analogue of the reference's paste-on-COCO diet. The
+  host-side pipeline also remains available when a photo corpus exists.
 - Label-map cell collisions resolve by random scatter order (a uniformly
   random winner among the ≤2 colliders) instead of the reference's 50% swap
   (``data.py:44-47``) — the same marginal distribution for two colliders.
@@ -125,6 +127,60 @@ def _procedural_bg(key, hw: Tuple[int, int]):
     return jnp.clip(base, 0.0, 255.0)
 
 
+def _bank_bg(key, bank: jnp.ndarray, hw: Tuple[int, int]):
+    """Sample one (H, W) background from an on-device image bank: random
+    image, random rotation, per-axis random flip, random window — the
+    device-side analogue of the host pipeline's flip/rotate-crop/random-crop
+    background augmentation (``data/synth.py _augment_background``,
+    reference ``src/transformations.py:90-99``). Edge-clamped bilinear
+    sampling (the host path's rotate crops borders instead; at bank
+    resolution ≥ 1.4× the frame the clamped band is rarely visible)."""
+    nb, hb, wb = bank.shape
+    h, w = hw
+    ks = jax.random.split(key, 5)
+    idx = jax.random.randint(ks[0], (), 0, nb)
+    img = bank[idx]
+    theta = jax.random.uniform(ks[1], (), minval=-jnp.pi, maxval=jnp.pi)
+    flip = jax.random.randint(ks[2], (2,), 0, 2) * 2 - 1  # ±1 per axis
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    ys = (jnp.arange(h, dtype=jnp.float32) - h / 2.0)[:, None]
+    xs = (jnp.arange(w, dtype=jnp.float32) - w / 2.0)[None, :]
+    xs = xs * flip[0]
+    ys = ys * flip[1]
+    cx = jax.random.uniform(ks[3], (), minval=0.4 * w, maxval=wb - 0.4 * w)
+    cy = jax.random.uniform(ks[4], (), minval=0.4 * h, maxval=hb - 0.4 * h)
+    sx = c * xs - s * ys + cx
+    sy = s * xs + c * ys + cy
+    val, _ = _bilinear_sample(img, sx, sy)
+    return val
+
+
+def make_background_bank(n: int = 64, size_hw: Tuple[int, int] = (480, 640),
+                         seed: int = 0, labels=None, images_folder=None):
+    """Host-side, setup-time: build an (n, H, W) float32 grayscale bank from
+    the configured photo source (COCO json / directory / procedural — same
+    resolution order as the host pipeline, ``data/sources.open_image_source``)
+    for one-time upload to the device. This is how real photo corpora reach
+    the on-device synthesis path: N images move host→HBM once at train
+    start; every sample after that crops/rotates them on device."""
+    import cv2
+    import numpy as np
+
+    from deepcharuco_tpu.data.sources import open_image_source
+
+    src = open_image_source(labels, images_folder, size_hw=size_hw)
+    rng = np.random.default_rng(seed)
+    out = np.zeros((n, *size_hw), np.float32)
+    for i in range(n):
+        img = src.get(int(rng.integers(0, len(src))))
+        gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        if gray.shape != tuple(size_hw):
+            gray = cv2.resize(gray, (size_hw[1], size_hw[0]),
+                              interpolation=cv2.INTER_AREA)
+        out[i] = gray.astype(np.float32)
+    return out
+
+
 def _dropout_mask(key, hw: Tuple[int, int], p: float):
     """CoarseDropout (1–6 holes of 16–64 px, prob p): returns a (H, W) bool
     'hole' map (True = punched out)."""
@@ -198,7 +254,9 @@ class DeviceSynthesizer:
     """
 
     def __init__(self, config: Config, negative_p: float = 0.05,
-                 refinenet_ranges: bool = False, axis_snap_p: float = 0.0):
+                 refinenet_ranges: bool = False, axis_snap_p: float = 0.0,
+                 bg_bank=None, bg_bank_p: float = 0.5,
+                 scale_range=None):
         import numpy as np
 
         from deepcharuco_tpu import board as B
@@ -208,6 +266,16 @@ class DeviceSynthesizer:
         self.n_ids = config.n_ids
         self.negative_p = negative_p
         self.axis_snap_p = axis_snap_p  # see _affine_params
+        # Device-resident photo-background bank (VERDICT r2 missing #2):
+        # (B, Hb, Wb) grayscale images uploaded ONCE; per sample, with prob
+        # bg_bank_p, the background is a random rotated/flipped window of a
+        # random bank image instead of the procedural generator — the
+        # on-device analogue of the reference's paste-on-COCO diet
+        # (src/data.py:60-69). bg_bank=None keeps the round-1/2 stream
+        # bit-identical (no extra key consumption on the base path).
+        self.bg_bank = (jnp.asarray(bg_bank, jnp.float32)
+                        if bg_bank is not None else None)
+        self.bg_bank_p = bg_bank_p
         if refinenet_ranges:  # transformations.py:24-26
             self.scale_range = (0.3, 0.75)
             self.translate_frac = (0.0, 0.0)
@@ -216,6 +284,12 @@ class DeviceSynthesizer:
             self.scale_range = (0.25, 0.9)
             self.translate_frac = (-0.45, 0.45)
             self.dropout_p = 0.4
+        # Diet-extension override (e.g. (0.25, 1.05) teaches full-frame
+        # boards — the reference's 0.25–0.9 never shows scale ≈ 1.0, which
+        # is exactly where frontal full-scale probes failed; eval streams
+        # keep the default range for cross-round comparability).
+        if scale_range is not None:
+            self.scale_range = tuple(scale_range)
 
         # Render the board once on host (cv2, setup time), move gray to device.
         min_r = min(config.input_size)
@@ -263,6 +337,12 @@ class DeviceSynthesizer:
                     & (sy >= self.board_y0) & (sy <= self.board_y1 - 1))
 
         bg = _procedural_bg(ks[1], self.hw)
+        if self.bg_bank is not None:
+            # fold_in keeps the base stream identical when the bank is off
+            kb = jax.random.fold_in(ks[1], 101)
+            use_bank = (jax.random.uniform(jax.random.fold_in(ks[1], 102))
+                        < self.bg_bank_p)
+            bg = jnp.where(use_bank, _bank_bg(kb, self.bg_bank, self.hw), bg)
         hole = _dropout_mask(ks[2], self.hw, self.dropout_p)
         is_negative = jax.random.uniform(ks[3]) < self.negative_p
         paste = on_board & ~hole & ~is_negative
@@ -330,12 +410,14 @@ class FramePatchSynthesizer:
     """
 
     def __init__(self, config: Config, jitter_px: float = 3.0,
-                 per_frame: int = 8, continuous_targets: bool = True):
+                 per_frame: int = 8, continuous_targets: bool = True,
+                 patch_size: int = 24):
         self.inner = DeviceSynthesizer(config, negative_p=0.0)
         self.hw = config.input_hw
         self.n_ids = config.n_ids
         self.jitter = jitter_px
         self.per_frame = per_frame  # ≙ reference total=8 patches per image
+        self.patch_size = patch_size  # 24 parity / 32 wider-context RefineNet
         # Continuous (non-rounded) Gaussian centers: the target peak sits at
         # the exact sub-pixel corner, so the soft-argmax decode is unbiased.
         # The reference rounds to the 1/8-px grid (data_refinenet.py:84-91),
@@ -363,7 +445,8 @@ class FramePatchSynthesizer:
         off = jax.random.uniform(ks[2], (self.per_frame, 2),
                                  minval=-self.jitter, maxval=self.jitter)
         center = jnp.round(p + off)
-        patches = extract_patches(img[None, ..., 0], center[None])[0]  # (P,24,24)
+        patches = extract_patches(img[None, ..., 0], center[None],
+                                  patch_size=self.patch_size)[0]  # (P,ps,ps)
 
         hp = (p - center) * 8.0 + 32.0                     # (per_frame, 2)
         if not self.continuous:
@@ -380,7 +463,8 @@ class FramePatchSynthesizer:
         """Unjitted batch synthesis (for embedding in larger programs)."""
         frames = max(1, batch_size // self.per_frame)
         p, hm = jax.vmap(self._sample)(jax.random.split(key, frames))
-        return (p.reshape(-1, 24, 24, 1)[:batch_size],
+        ps = self.patch_size
+        return (p.reshape(-1, ps, ps, 1)[:batch_size],
                 hm.reshape(-1, 64, 64, 1)[:batch_size])
 
     def batch_fn(self, batch_size: int):
@@ -410,7 +494,8 @@ class DeviceRefineSynthesizer:
     reference's quantized labels.
     """
 
-    def __init__(self, config: Config, continuous_targets: bool = True):
+    def __init__(self, config: Config, continuous_targets: bool = True,
+                 patch_size: int = 24):
         # Reuse the detector synthesizer at 2× render resolution for sharper
         # source pixels (the reference renders RefineNet data at 2×,
         # data_refinenet.py:97-100).
@@ -422,6 +507,7 @@ class DeviceRefineSynthesizer:
         self.hw = big.input_hw
         self.n_ids = config.n_ids
         self.continuous = continuous_targets  # see FramePatchSynthesizer
+        self.patch_size = patch_size  # 24 parity / 32 wider-context
 
     def _sample(self, key):
         h, w = self.hw
@@ -439,19 +525,20 @@ class DeviceRefineSynthesizer:
         off = jax.random.uniform(ks[2], (2,), minval=-3.99, maxval=3.99)
         center = jnp.round(p / 2.0 + off)
 
-        # 24×24 patch at original resolution ⇒ sample 2×-res source at
-        # stride 2 around the center. Pixel j maps to source c + j − 12 —
+        # ps×ps patch at original resolution ⇒ sample 2×-res source at
+        # stride 2 around the center. Pixel j maps to source c + j − ps/2 —
         # EXACTLY the integer-aligned grid inference-time extract_patches
         # crops (ops/patches.py); any half-pixel offset here would bake a
         # 0.5 px bias into every refined corner.
-        ys = (center[1] + jnp.arange(-12, 12, dtype=jnp.float32))[:, None]
-        xs = (center[0] + jnp.arange(-12, 12, dtype=jnp.float32))[None, :]
+        half = self.patch_size // 2
+        ys = (center[1] + jnp.arange(-half, half, dtype=jnp.float32))[:, None]
+        xs = (center[0] + jnp.arange(-half, half, dtype=jnp.float32))[None, :]
         sx_d = 2.0 * xs
         sy_d = 2.0 * ys
         sx = Ainv[0, 0] * (sx_d - t[0]) + Ainv[0, 1] * (sy_d - t[1])
         sy = Ainv[1, 0] * (sx_d - t[0]) + Ainv[1, 1] * (sy_d - t[1])
         val, inb = _bilinear_sample(self.inner.board, sx, sy)
-        bg = _procedural_bg(ks[3], (24, 24))
+        bg = _procedural_bg(ks[3], (self.patch_size, self.patch_size))
         on_board = (inb & (sx >= self.inner.board_x0) & (sx <= self.inner.board_x1 - 1)
                     & (sy >= self.inner.board_y0) & (sy <= self.inner.board_y1 - 1))
         patch = jnp.where(on_board, val, bg)

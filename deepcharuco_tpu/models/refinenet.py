@@ -56,7 +56,20 @@ class _ConvBNReluValid(nn.Module):
 
 
 class RefineNet(nn.Module):
-    """(N, 24, 24, 1) patch → (N, 64, 64, 1) sub-pixel heatmap.
+    """(N, P, P, 1) patch → (N, 64, 64, 1) sub-pixel heatmap, P ∈ {24, 32}.
+
+    ``patch_size=24`` (default) is exact reference parity — identical layer
+    names/shapes, so all existing checkpoints load unchanged. ``patch_size=32``
+    is the round-3 wider-context variant: the measured 0.37 px localization
+    floor of the 24×24 net is input-information-limited (BENCH_NOTES — 0.331
+    px even on photometrically clean patches), and a 32×32 window sees ~33%
+    more support pixels along the two crossing board edges whose intersection
+    defines the corner. The 32 front-end runs the same four VALID convs
+    (32→24), pools to 12, then two extra VALID convs (``conv2c``/``conv2d``,
+    12→10→8) join the standard trunk — every 24-model parameter keeps its
+    name, so a 24-checkpoint warm-starts the 32 net (new convs fresh; see
+    ``pipeline.merge_variables``). The 64×64 heatmap still covers the central
+    8×8 px at 8× resolution, so the decode mapping is unchanged.
 
     ``upsample="nearest"`` (default) is reference parity; ``"bilinear"`` is
     the beyond-parity smooth-interpolation variant — parameter-free, so both
@@ -66,21 +79,29 @@ class RefineNet(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     upsample: str = "nearest"
+    patch_size: int = 24
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.patch_size not in (24, 32):
+            raise ValueError(f"patch_size must be 24 or 32, got {self.patch_size}")
         c1, c2, c3, c4, c5 = 64, 128, 128, 128, 64
         dt = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         up = (_upsample_bilinear_2x if self.upsample == "bilinear"
               else _upsample_nearest_2x)
 
         x = x.astype(self.dtype)
-        # Shrinking stage, VALID padding (ref refinenet.py:56-62): 24 → 16.
+        # Shrinking stage, VALID padding (ref refinenet.py:56-62):
+        # 24 → 16 (parity) or 32 → 24 (wider context).
         x = _ConvBNReluValid(c1, name="conv1a", **dt)(x, train)
         x = _ConvBNReluValid(c1, name="conv1b", **dt)(x, train)
         x = _ConvBNReluValid(c2, name="conv2a", **dt)(x, train)
         x = _ConvBNReluValid(c2, name="conv2b", **dt)(x, train)
-        x = _pool(x)  # 16 → 8
+        x = _pool(x)  # 16 → 8  (or 24 → 12)
+        if self.patch_size == 32:
+            # extra shrink to the trunk's 8×8 grid: 12 → 10 → 8
+            x = _ConvBNReluValid(c2, name="conv2c", **dt)(x, train)
+            x = _ConvBNReluValid(c2, name="conv2d", **dt)(x, train)
 
         x = ConvBNRelu(c3, name="conv3a", **dt)(x, train)
         x = ConvBNRelu(c3, name="conv3b", **dt)(x, train)

@@ -108,7 +108,8 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
                                          min_margin=min_margin)
     if refinenet is None:
         return keypoints, valid, keypoints
-    patches = extract_patches(g, keypoints)
+    patches = extract_patches(g, keypoints,
+                              patch_size=getattr(refinenet, "patch_size", 24))
     n, k, p, _ = patches.shape
     heat = refinenet.apply(rn_vars, patches.reshape(n * k, p, p, 1))
     heat = heat.reshape(n, k, 64, 64)
@@ -199,6 +200,37 @@ def variables_to_npz(path: str, variables) -> None:
     np.savez_compressed(path, **flat)
 
 
+def merge_variables(dst, src, _path=""):
+    """Overlay ``src`` leaves onto ``dst`` where the tree path exists and the
+    shape matches; leaves unique to either side are left as-is in ``dst``.
+
+    Returns (merged, loaded_paths, skipped_paths). Used to warm-start a
+    superset architecture from a subset checkpoint — e.g. the 32-patch
+    RefineNet (extra ``conv2c``/``conv2d``) from the shipped 24-patch
+    weights: shared layers load, new layers keep their fresh init.
+    """
+    loaded, skipped = [], []
+    if isinstance(dst, dict) and isinstance(src, dict):
+        merged = {}
+        for k, v in dst.items():
+            if k in src:
+                m, lo, sk = merge_variables(v, src[k], f"{_path}/{k}")
+                merged[k] = m
+                loaded += lo
+                skipped += sk
+            else:
+                merged[k] = v
+                skipped.append(f"{_path}/{k} (absent in source)")
+        for k in src:
+            if k not in dst:
+                skipped.append(f"{_path}/{k} (absent in target)")
+        return merged, loaded, skipped
+    if getattr(dst, "shape", None) == getattr(src, "shape", ()):
+        return src, [_path], []
+    return dst, [], [f"{_path} (shape {getattr(src, 'shape', '?')} vs "
+                     f"{getattr(dst, 'shape', '?')})"]
+
+
 def variables_from_npz(path: str):
     """Inverse of :func:`variables_to_npz`."""
     data = np.load(path)
@@ -216,14 +248,16 @@ def load_pipeline(config: Config, deepc_ckpt: Optional[str] = None,
                   refinenet_ckpt: Optional[str] = None,
                   camera: Optional[Camera] = None,
                   compute_dtype=jnp.bfloat16,
-                  rn_upsample: str = "nearest") -> "InferencePipeline":
+                  rn_upsample: str = "nearest",
+                  rn_patch_size: int = 24) -> "InferencePipeline":
     """Parity entry point for reference ``load_models`` + pipeline assembly."""
     dv = load_model_variables(deepc_ckpt, "detector", config.n_ids)
     rv = (load_model_variables(refinenet_ckpt, "refinenet")
           if refinenet_ckpt is not None else None)
     return InferencePipeline(config, dv, rv, camera=camera,
                              compute_dtype=compute_dtype,
-                             rn_upsample=rn_upsample)
+                             rn_upsample=rn_upsample,
+                             rn_patch_size=rn_patch_size)
 
 
 class InferencePipeline:
@@ -239,11 +273,13 @@ class InferencePipeline:
                  compute_dtype=jnp.bfloat16, pnp_iters: int = 20,
                  soft_refine: bool = False,
                  min_margin: Optional[float] = None,
-                 rn_upsample: str = "nearest"):
+                 rn_upsample: str = "nearest",
+                 rn_patch_size: int = 24):
         self.config = config
         self.n_ids = config.n_ids
         self.detector = Detector(n_ids=config.n_ids, dtype=compute_dtype)
-        self.refinenet = (RefineNet(dtype=compute_dtype, upsample=rn_upsample)
+        self.refinenet = (RefineNet(dtype=compute_dtype, upsample=rn_upsample,
+                                    patch_size=rn_patch_size)
                           if rn_vars is not None else None)
         self.det_vars = jax.device_put(det_vars)
         self.rn_vars = jax.device_put(rn_vars) if rn_vars is not None else None

@@ -52,7 +52,8 @@ def create_detector_state(det: Detector, rng, input_hw=(240, 320),
 
 def create_refinenet_state(rn: RefineNet, rng,
                            tx: Optional[optax.GradientTransformation] = None):
-    variables = rn.init(rng, jnp.zeros((1, 24, 24, 1), jnp.float32))
+    ps = getattr(rn, "patch_size", 24)
+    variables = rn.init(rng, jnp.zeros((1, ps, ps, 1), jnp.float32))
     tx = tx if tx is not None else optax.adam(1e-4)
     return tx, TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -133,15 +134,30 @@ def detector_loss_fn(det: Detector, params, batch_stats, images, loc_labels,
             # weight up suppresses real corners. A top-k mean over each
             # image's WORST bg cells concentrates gradient on the actual
             # offenders (satisfied cells contribute exactly 0) and leaves
-            # the fg margins untouched. EXPERIMENTAL (BENCH_NOTES "Top-k
-            # hard-offender hinge"): the pool is dominated by corner-ADJACENT
-            # cells (the true response bleeds across cell borders) and even
-            # at this 0.1× scale recall degrades (0.96 → 0.82 measured);
-            # needs a corner-neighborhood exclusion mask before it's useful.
+            # the fg margins untouched.
+            #
+            # Corner-neighborhood exclusion (round 3, fixes the round-2
+            # negative result — BENCH_NOTES "Top-k hard-offender hinge"):
+            # without it the top-k pool is dominated by cells ADJACENT to
+            # true corners, where the real response legitimately bleeds
+            # across the stride-8 cell borders; mining those suppressed
+            # real detections through shared features (recall 0.96 → 0.82).
+            # Dilating the corner map 3×3 and mining only OUTSIDE it leaves
+            # exactly the genuinely-far offenders — the wrong-cell outliers
+            # tens of px away the hinge exists to kill.
             n = ids_hat.shape[0]
-            worst = jnp.where(is_bg, bg_viol + loc_bg_viol, 0.0).reshape(n, -1)
+            corner = (~is_bg).astype(jnp.float32)          # (N, Hc, Wc)
+            p = jnp.pad(corner, ((0, 0), (1, 1), (1, 1)))
+            near_corner = jnp.zeros_like(corner)
+            for dy in range(3):
+                for dx in range(3):
+                    near_corner = jnp.maximum(
+                        near_corner,
+                        p[:, dy:dy + corner.shape[1], dx:dx + corner.shape[2]])
+            minable = is_bg & (near_corner == 0.0)
+            worst = jnp.where(minable, bg_viol + loc_bg_viol, 0.0).reshape(n, -1)
             topk = jax.lax.top_k(worst, conf_topk)[0]      # (N, k)
-            loss_conf = loss_conf + 0.1 * jnp.mean(topk)
+            loss_conf = loss_conf + jnp.mean(topk)
         loss = loss + conf_weight * loss_conf
         aux = {**aux, "loss": loss, "loss_conf": loss_conf}
     return loss, (aux, new_stats, out)

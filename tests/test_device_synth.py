@@ -109,3 +109,34 @@ def test_fused_synth_train_step_runs():
     assert np.isfinite(float(aux["loss"]))
     state, aux2 = fused(state, jax.random.PRNGKey(2))
     assert int(state.step) == 2
+
+
+def test_background_bank_mixes_without_touching_labels():
+    """bg_bank: images change (photo windows composite in), labels don't
+    (background choice is orthogonal to board geometry), and the bank-off
+    stream stays bit-identical to the default (no extra key consumption)."""
+    from deepcharuco_tpu.data.device_synth import make_background_bank
+
+    bank = make_background_bank(4, size_hw=(360, 480), seed=0)
+    assert bank.shape == (4, 360, 480) and bank.dtype == np.float32
+
+    a = DeviceSynthesizer(CFG).batch(jax.random.PRNGKey(5), 4)
+    b = DeviceSynthesizer(CFG, bg_bank=bank, bg_bank_p=1.0).batch(
+        jax.random.PRNGKey(5), 4)
+    c = DeviceSynthesizer(CFG, bg_bank=None).batch(jax.random.PRNGKey(5), 4)
+    assert not np.allclose(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(c[0]))
+
+
+def test_background_bank_probability_zero_is_procedural():
+    """bg_bank_p=0 must reproduce the procedural background pixels exactly
+    (the jnp.where select keeps the procedural branch)."""
+    from deepcharuco_tpu.data.device_synth import make_background_bank
+
+    bank = make_background_bank(2, size_hw=(360, 480), seed=1)
+    a = DeviceSynthesizer(CFG).batch(jax.random.PRNGKey(9), 2)
+    b = DeviceSynthesizer(CFG, bg_bank=bank, bg_bank_p=0.0).batch(
+        jax.random.PRNGKey(9), 2)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))

@@ -72,3 +72,21 @@ def test_frame_patch_determinism():
     b = synth.batch(jax.random.PRNGKey(5), 4)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_frame_patch_synthesizer_patch32():
+    """32-patch synthesis: shapes, and the heat target still maps the corner
+    through refined = (argmax−32)/8 + center (the 64×64 window semantics are
+    patch-size-independent — it always covers the central 8×8 px)."""
+    import jax
+    import numpy as np
+
+    from deepcharuco_tpu.configs import default_config
+    from deepcharuco_tpu.data.device_synth import FramePatchSynthesizer
+
+    synth = FramePatchSynthesizer(default_config(), patch_size=32)
+    p, h = synth.batch(jax.random.PRNGKey(2), 16)
+    assert p.shape == (16, 32, 32, 1)
+    assert h.shape == (16, 64, 64, 1)
+    hm = np.asarray(h)[..., 0]
+    assert (hm.reshape(16, -1).max(1) > 0.9).all()

@@ -87,3 +87,35 @@ def test_refinenet_fully_convolutional_spatial_map():
     variables = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(variables, x)
     assert out.shape[1:3] == (64, 64)
+
+
+def test_refinenet_patch32_variant():
+    """patch_size=32: (N,32,32,1) → (N,64,64,1); every 24-model parameter
+    keeps its name so shipped 24-checkpoints warm-start the shared layers
+    (merge_variables), with only conv2c/conv2d (+BN) fresh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepcharuco_tpu.models import RefineNet
+    from deepcharuco_tpu.pipeline import merge_variables
+
+    rn24 = RefineNet(dtype=jnp.float32)
+    rn32 = RefineNet(dtype=jnp.float32, patch_size=32)
+    v24 = rn24.init(jax.random.PRNGKey(0), jnp.zeros((1, 24, 24, 1)))
+    v32 = rn32.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 1)))
+
+    p24 = set(v24["params"].keys())
+    p32 = set(v32["params"].keys())
+    assert p32 - p24 == {"conv2c", "conv2d"}
+    assert p24 <= p32
+
+    merged, loaded, skipped = merge_variables(dict(v32), dict(v24))
+    assert len(loaded) > 0
+    assert all("conv2c" in s or "conv2d" in s for s in skipped)
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["conv1a"]["conv"]["kernel"]),
+        np.asarray(v24["params"]["conv1a"]["conv"]["kernel"]))
+
+    out = rn32.apply(merged, jnp.zeros((2, 32, 32, 1)))
+    assert out.shape == (2, 64, 64, 1)

@@ -155,3 +155,65 @@ def test_sharded_step_data_parallel_only(rng):
         step = sharded_train_step(make_detector_train_step(det, tx), mesh)
         new_state, aux = step(sstate, *batch)
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_conf_topk_excludes_corner_adjacent_cells():
+    """The top-k hard-offender pool must skip the 3x3 neighborhood of true
+    corner cells (mining those suppressed real detections — round-2 negative
+    result). A violation ADJACENT to a corner adds nothing; the SAME
+    violation far away adds loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepcharuco_tpu.models import Detector
+    from deepcharuco_tpu.train.steps import detector_loss_fn
+
+    n_ids = 16
+    det = Detector(n_ids=n_ids, dtype=jnp.float32)
+
+    hc, wc = 6, 8
+    loc = np.full((1, hc, wc), 64, np.int64)
+    ids = np.full((1, hc, wc), n_ids, np.int64)
+    loc[0, 2, 2] = 3          # one true corner at cell (2, 2)
+    ids[0, 2, 2] = 5
+
+    class _Fake:
+        """Stand-in for Detector.apply returning fixed logits."""
+
+        def __init__(self, out):
+            self.out = out
+
+        def apply(self, variables, images, train=False, mutable=None):
+            return (self.out, {"batch_stats": {}}) if train else self.out
+
+    def make_out(offender_rc):
+        loc_hat = np.zeros((1, hc, wc, 65), np.float32)
+        ids_hat = np.zeros((1, hc, wc, n_ids + 1), np.float32)
+        loc_hat[..., 64] = 10.0       # loc dustbin everywhere
+        ids_hat[..., n_ids] = 10.0    # ids dustbin everywhere
+        loc_hat[0, 2, 2, 64] = 0.0
+        loc_hat[0, 2, 2, 3] = 10.0    # true corner correct
+        ids_hat[0, 2, 2, n_ids] = 0.0
+        ids_hat[0, 2, 2, 5] = 10.0
+        r, c = offender_rc            # a bg cell violating both hinges
+        loc_hat[0, r, c, 7] = 30.0
+        ids_hat[0, r, c, 9] = 30.0
+        return {"loc": jnp.asarray(loc_hat), "ids": jnp.asarray(ids_hat)}
+
+    kw = dict(conf_weight=1.0, conf_margin=4.0, train=False)
+    base_adj, _ = detector_loss_fn(_Fake(make_out((2, 3))), None, {},
+                                   None, jnp.asarray(loc), jnp.asarray(ids),
+                                   conf_topk=0, **kw)
+    topk_adj, _ = detector_loss_fn(_Fake(make_out((2, 3))), None, {},
+                                   None, jnp.asarray(loc), jnp.asarray(ids),
+                                   conf_topk=4, **kw)
+    base_far, _ = detector_loss_fn(_Fake(make_out((5, 7))), None, {},
+                                   None, jnp.asarray(loc), jnp.asarray(ids),
+                                   conf_topk=0, **kw)
+    topk_far, _ = detector_loss_fn(_Fake(make_out((5, 7))), None, {},
+                                   None, jnp.asarray(loc), jnp.asarray(ids),
+                                   conf_topk=4, **kw)
+    # adjacent offender: excluded from the pool — no extra loss
+    assert abs(float(topk_adj) - float(base_adj)) < 1e-6
+    # far offender: mined — extra loss strictly positive
+    assert float(topk_far) - float(base_far) > 1.0
