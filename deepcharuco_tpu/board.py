@@ -129,56 +129,72 @@ def get_board_object_points(board) -> np.ndarray:
     return np.array(board.objPoints, dtype=np.float32)
 
 
+def _detect_markers(gray, dictionary, parameters):
+    """Raw classical marker detection, across cv2 API generations (4.7+
+    object API vs the older module function). Returns (corners, ids,
+    rejected) exactly as cv2 hands them out."""
+    cv2 = _cv2()
+    if hasattr(cv2.aruco, "ArucoDetector"):
+        return cv2.aruco.ArucoDetector(dictionary, parameters).detectMarkers(gray)
+    return cv2.aruco.detectMarkers(gray, dictionary, parameters=parameters)
+
+
 def cv2_aruco_detect(image, dictionary, board, parameters):
-    """Classical aruco detect + refine — the comparison baseline
-    (ref ``src/aruco_utils.py:25-50``). Returns (annotated image, corners, ids)."""
+    """Classical-aruco comparison baseline: marker detection, board-aware
+    refinement, annotation — three independent stages (functional
+    counterpart of the reference's baseline path, ``src/aruco_utils.py:25-50``).
+    Returns (annotated BGR image, marker corners, marker ids).
+    """
     cv2 = _cv2()
     gray = cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
-    if hasattr(cv2.aruco, "ArucoDetector"):
-        detector = cv2.aruco.ArucoDetector(dictionary, parameters)
-        corners, ids, rejected = detector.detectMarkers(gray)
-    else:
-        corners, ids, rejected = cv2.aruco.detectMarkers(gray, dictionary, parameters=parameters)
+    corners, ids, rejected = _detect_markers(gray, dictionary, parameters)
 
-    if hasattr(cv2.aruco, "refineDetectedMarkers"):
-        try:
-            corners, ids, rejected, _ = cv2.aruco.refineDetectedMarkers(
-                image, board, corners, ids, rejected
-            )
-        except TypeError:
-            corners, ids, rejected, _ = cv2.aruco.refineDetectedMarkers(
-                image, board, corners, ids, np.array([])
-            )
+    refine = getattr(cv2.aruco, "refineDetectedMarkers", None)
+    if refine is not None and ids is not None:
+        # some cv2 builds reject a None/odd-shaped rejected list — hand it a
+        # well-formed empty array instead of branching on the exception
+        if rejected is None or len(rejected) == 0:
+            rejected = np.empty((0, 1, 4, 2), np.float32)
+        corners, ids, rejected, _ = refine(image, board, corners, ids, rejected)
 
+    annotated = image
     if ids is not None and len(corners) > 0:
-        marker_corners = np.array([c[0] for c in corners], dtype=np.float32)
-        image = draw_inner_corners(
-            image, marker_corners.reshape((-1, 2)), np.arange(marker_corners.shape[0])
-        )
-    return image, corners, ids
+        pts = np.concatenate([np.asarray(c, np.float32).reshape(-1, 2)
+                              for c in corners])
+        annotated = draw_inner_corners(image, pts, np.arange(len(pts)))
+    return annotated, corners, ids
 
 
 # ---------------------------------------------------------------------------
-# Drawing (host-side visualization, ref src/aruco_utils.py:135-256)
+# Drawing (host-side visualization; fills the role of the reference's
+# draw_inner_corners/draw_circle_pred, src/aruco_utils.py:135-256)
 # ---------------------------------------------------------------------------
 
 def draw_inner_corners(img, corners, ids, draw_ids: bool = False, radius: int = 2,
                        color=(0, 0, 255)):
-    """Draw corner circles (+ optional id labels) on a BGR image."""
+    """Draw corner markers (+ optional green id labels) on a BGR image.
+
+    Points are rounded and mask-filtered up front (points past the
+    bottom/right image edge are dropped, matching the reference renderer's
+    skip rule); only the cv2 draw calls themselves loop.
+    """
     cv2 = _cv2()
     assert img.ndim == 3 and img.shape[-1] == 3
-    img = img.copy()
-    font = cv2.FONT_HERSHEY_COMPLEX_SMALL
-    for corner, idx in zip(np.asarray(corners), np.asarray(ids)):
-        c = np.round(corner[:2]).astype(int)
-        if c[0] > img.shape[1] or c[1] > img.shape[0]:
-            continue
-        cv2.circle(img, (int(c[0]), int(c[1])), radius=radius, color=color, thickness=1)
-        if draw_ids:
-            size, _ = cv2.getTextSize(str(idx), font, 0.5, 1)
-            pos = (int(c[0]) - size[0] // 2 - 7, int(c[1]) + size[1] // 2 - 3)
-            cv2.putText(img, str(idx), pos, font, 0.45, (0, 255, 0), 1)
-    return img
+    canvas = img.copy()
+    pts = np.round(np.asarray(corners, np.float64)[:, :2]).astype(int)
+    labels = np.asarray(ids)
+    keep = (pts[:, 0] <= img.shape[1]) & (pts[:, 1] <= img.shape[0])
+    for x, y in pts[keep]:
+        cv2.circle(canvas, (int(x), int(y)), radius=radius, color=color,
+                   thickness=1)
+    if draw_ids:
+        font = cv2.FONT_HERSHEY_COMPLEX_SMALL
+        for (x, y), idx in zip(pts[keep], labels[keep]):
+            text = str(idx)
+            (tw, th), _ = cv2.getTextSize(text, font, 0.5, 1)
+            cv2.putText(canvas, text, (int(x) - tw // 2 - 7, int(y) + th // 2 - 3),
+                        font, 0.45, (0, 255, 0), 1)
+    return canvas
 
 
 def draw_keypoints_with_validity(img, keypoints, valid, draw_ids: bool = False,

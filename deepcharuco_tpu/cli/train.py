@@ -66,6 +66,11 @@ def build_argparser():
                         "board rotation to the nearest 90° (±2°) with near-"
                         "zero shear — trains the frontal axis-aligned poses "
                         "the uniform ±360° diet almost never produces")
+    p.add_argument("--perspective-p", type=float, default=0.0,
+                   help="with --device-synth: probability of projective warp "
+                        "terms (full homography, not just affine+shear) — "
+                        "trains the foreshortened far-end-of-board regime "
+                        "where the real-photo corners were missed")
     p.add_argument("--scale-max", type=float, default=None,
                    help="with --device-synth: raise the board scale range's "
                         "upper end (reference parity is 0.9; 1.05 teaches "
@@ -187,7 +192,8 @@ def main(argv=None):
         device_synth = DeviceSynthesizer(
             cfg, axis_snap_p=args.axis_snap_p, bg_bank=bank,
             bg_bank_p=args.bg_bank_p,
-            scale_range=((0.25, args.scale_max) if args.scale_max else None))
+            scale_range=((0.25, args.scale_max) if args.scale_max else None),
+            perspective_p=args.perspective_p)
         K = max(1, args.fused_steps)
         from deepcharuco_tpu.parallel import (
             sharded_synth_train_program,

@@ -256,7 +256,7 @@ class DeviceSynthesizer:
     def __init__(self, config: Config, negative_p: float = 0.05,
                  refinenet_ranges: bool = False, axis_snap_p: float = 0.0,
                  bg_bank=None, bg_bank_p: float = 0.5,
-                 scale_range=None):
+                 scale_range=None, perspective_p: float = 0.0):
         import numpy as np
 
         from deepcharuco_tpu import board as B
@@ -276,6 +276,14 @@ class DeviceSynthesizer:
         self.bg_bank = (jnp.asarray(bg_bank, jnp.float32)
                         if bg_bank is not None else None)
         self.bg_bank_p = bg_bank_p
+        # Perspective diet (round 3): with this probability the affine warp
+        # gains projective terms, i.e. the full homography a tilted planar
+        # board actually undergoes. The reference trains affine+shear only
+        # (src/transformations.py:22-52); the IMG_7412 per-corner analysis
+        # (BENCH_NOTES) showed both missed corners sit at the FAR,
+        # foreshortened end of the tilted board — a regime affine synthesis
+        # never produces. 0 keeps the stream bit-identical to rounds 1-2.
+        self.perspective_p = perspective_p
         if refinenet_ranges:  # transformations.py:24-26
             self.scale_range = (0.3, 0.75)
             self.translate_frac = (0.0, 0.0)
@@ -324,13 +332,31 @@ class DeviceSynthesizer:
                               self.translate_frac,
                               axis_snap_p=self.axis_snap_p)
 
-        # Inverse map for sampling: src = A⁻¹ (dst − t)
-        det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
-        Ainv = jnp.array([[A[1, 1], -A[0, 1]], [-A[1, 0], A[0, 0]]]) / det
+        # Optional projective terms (see __init__): forward map becomes the
+        # homography x_d = (A·x_s + t) / (pv·x_s + d0), normalized so the
+        # canvas center keeps its affine scale. pv = 0 reduces exactly to
+        # the affine path (keys fold_in-derived — base stream unchanged).
+        if self.perspective_p > 0.0:
+            kp_ = jax.random.fold_in(ks[0], 7)
+            on = (jax.random.uniform(jax.random.fold_in(kp_, 1))
+                  < self.perspective_p)
+            pv = jnp.where(on, jax.random.uniform(
+                kp_, (2,), minval=-8e-4, maxval=8e-4), 0.0)
+        else:
+            pv = jnp.zeros(2, jnp.float32)
+        center = jnp.array([w / 2.0, h / 2.0])
+        d0 = 1.0 - pv @ center
+
+        # Inverse map for sampling: invert the 3×3 homography once.
+        H = jnp.array([[A[0, 0], A[0, 1], t[0]],
+                       [A[1, 0], A[1, 1], t[1]],
+                       [pv[0], pv[1], d0]])
+        Hinv = jnp.linalg.inv(H)
         ys = jnp.arange(h, dtype=jnp.float32)[:, None]
         xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-        sx = Ainv[0, 0] * (xs - t[0]) + Ainv[0, 1] * (ys - t[1])
-        sy = Ainv[1, 0] * (xs - t[0]) + Ainv[1, 1] * (ys - t[1])
+        den = Hinv[2, 0] * xs + Hinv[2, 1] * ys + Hinv[2, 2]
+        sx = (Hinv[0, 0] * xs + Hinv[0, 1] * ys + Hinv[0, 2]) / den
+        sy = (Hinv[1, 0] * xs + Hinv[1, 1] * ys + Hinv[1, 2]) / den
         board_val, inb = _bilinear_sample(self.board, sx, sy)
         # mask: source pixel inside the board square
         on_board = (inb & (sx >= self.board_x0) & (sx <= self.board_x1 - 1)
@@ -349,8 +375,10 @@ class DeviceSynthesizer:
         img = jnp.where(paste, board_val, bg)
         img = _photometric(ks[4], img)
 
-        # Keypoints: forward-transform the canvas corners.
-        kpts = self.corners @ A.T + t  # (n_ids, 2)
+        # Keypoints: forward-transform the canvas corners (exact through the
+        # same homography the pixels went through).
+        wk = (self.corners @ pv + d0)[:, None]
+        kpts = (self.corners @ A.T + t) / wk  # (n_ids, 2)
         kx, ky = kpts[:, 0], kpts[:, 1]
         kxi = jnp.clip(kx.astype(jnp.int32), 0, w - 1)
         kyi = jnp.clip(ky.astype(jnp.int32), 0, h - 1)

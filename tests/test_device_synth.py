@@ -140,3 +140,72 @@ def test_background_bank_probability_zero_is_procedural():
     b = DeviceSynthesizer(CFG, bg_bank=bank, bg_bank_p=0.0).batch(
         jax.random.PRNGKey(9), 2)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_perspective_warp_geometry_and_alignment():
+    """perspective_p: (a) off → stream identical to default; (b) on → board
+    rows are genuinely non-parallel (projective signature affine can't make);
+    (c) image/label alignment matches the known-good affine path (quadrant
+    parity of the checkerboard around each labeled corner, compared against
+    the affine baseline rate — photometrics make the raw rate noisy)."""
+    a = DeviceSynthesizer(CFG).batch(jax.random.PRNGKey(3), 2)
+    b = DeviceSynthesizer(CFG, perspective_p=0.0).batch(jax.random.PRNGKey(3), 2)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+    pers = DeviceSynthesizer(CFG, negative_p=0.0, perspective_p=1.0)
+    pers.dropout_p = 0.0
+    aff = DeviceSynthesizer(CFG, negative_p=0.0)
+    aff.dropout_p = 0.0
+
+    fn = jax.jit(pers._sample_full)
+    nonparallel = checked = 0
+    for seed in range(12):
+        _, _, _, kp, vis = fn(jax.random.PRNGKey(seed))
+        kp, vis = np.asarray(kp), np.asarray(vis)
+        if vis[[0, 3, 12, 15]].all():
+            d1, d2 = kp[3] - kp[0], kp[15] - kp[12]
+            cross = abs(d1[0] * d2[1] - d1[1] * d2[0]) / (
+                np.linalg.norm(d1) * np.linalg.norm(d2))
+            checked += 1
+            nonparallel += cross > 1e-3
+    assert checked >= 2 and nonparallel == checked
+
+    def quad_rate(synth, seeds):
+        f = jax.jit(synth._sample_full)
+        grid = np.arange(16).reshape(4, 4)
+        good = bad = 0
+        for seed in seeds:
+            img, _, _, kp, vis = f(jax.random.PRNGKey(seed))
+            img = np.asarray(img)[..., 0]
+            kp, vis = np.asarray(kp), np.asarray(vis)
+            for r in range(3):
+                for c in range(3):
+                    i, j, k2 = grid[r, c], grid[r, c + 1], grid[r + 1, c]
+                    if not (vis[i] and vis[j] and vis[k2]):
+                        continue
+                    u, v = kp[j] - kp[i], kp[k2] - kp[i]
+                    if np.linalg.norm(u) < 9 or np.linalg.norm(v) < 9:
+                        continue
+                    u, v = u / np.linalg.norm(u), v / np.linalg.norm(v)
+
+                    def samp(p):
+                        x, y = int(round(p[0])), int(round(p[1]))
+                        if not (0 <= x < img.shape[1] and 0 <= y < img.shape[0]):
+                            return None
+                        return img[y, x]
+
+                    pts = [samp(kp[i] + (u + v) * 3), samp(kp[i] - (u + v) * 3),
+                           samp(kp[i] + (u - v) * 3), samp(kp[i] - (u - v) * 3)]
+                    if any(p is None for p in pts):
+                        continue
+                    aa, bb, cc, dd = pts
+                    if (abs(aa - bb) < 0.25 and abs(cc - dd) < 0.25
+                            and abs(aa - cc) > 0.2):
+                        good += 1
+                    else:
+                        bad += 1
+        return good / max(1, good + bad)
+
+    seeds = range(100, 110)
+    rp, ra = quad_rate(pers, seeds), quad_rate(aff, seeds)
+    assert rp > ra - 0.15, (rp, ra)  # aligned within photometric noise
