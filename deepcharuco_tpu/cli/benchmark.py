@@ -75,18 +75,35 @@ def _input_variants(x, n: int = 8):
     return out
 
 
+def _force(out):
+    """Fetch one output leaf to host. Through the axon tunnel
+    ``block_until_ready`` alone does not guarantee the execution really ran
+    (BENCH_NOTES "Round-3 benchmark protocol"); a value fetch does — an
+    execution only materializes output buffers by completing."""
+    import jax
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf)
+
+
 def _time_fn(fn, args_tuples, iters, warmup):
     """Time ``fn`` over a *list* of argument tuples, cycled per iteration —
-    every call gets content-varied input (see :func:`_input_variants`)."""
-    import jax
-
+    every call gets content-varied input (see :func:`_input_variants`) and
+    every result is value-fetched (see :func:`_force`). One call stays in
+    flight (depth-1 pipelining), so the figure is throughput incl. dispatch."""
     n = len(args_tuples)
     for i in range(warmup):
         out = fn(*args_tuples[i % n])
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.perf_counter()
-    outs = [fn(*args_tuples[i % n]) for i in range(iters)]
-    jax.block_until_ready(outs)
+    prev = None
+    for i in range(iters):
+        out = fn(*args_tuples[i % n])
+        if prev is not None:
+            _force(prev)
+        prev = out
+    _force(prev)
     return time.perf_counter() - t0
 
 

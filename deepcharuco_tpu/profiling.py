@@ -31,23 +31,36 @@ def trace(logdir: str = "/tmp/dctpu_trace"):
 
 class StageTimer:
     """Accumulates wall-clock per stage, synchronizing the device around each
-    measured region so async dispatch doesn't hide the cost."""
+    measured region so async dispatch doesn't hide the cost.
+
+    Synchronization FETCHES one output leaf instead of only calling
+    ``block_until_ready``: through the axon tunnel block alone does not
+    guarantee the execution really ran (BENCH_NOTES "Round-3 benchmark
+    protocol"), while an execution can only materialize an output value on
+    the host by completing."""
 
     def __init__(self):
         self.totals: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
 
+    @staticmethod
+    def _sync(x):
+        import jax
+        import numpy as np
+
+        leaves = jax.tree_util.tree_leaves(x)
+        if leaves:
+            np.asarray(leaves[0])
+
     @contextlib.contextmanager
     def stage(self, name: str, sync=None):
-        import jax
-
         if sync is not None:
-            jax.block_until_ready(sync)
+            self._sync(sync)
         t0 = time.perf_counter()
         out = {}
         yield out
         if "result" in out:
-            jax.block_until_ready(out["result"])
+            self._sync(out["result"])
         dt = time.perf_counter() - t0
         self.totals[name] = self.totals.get(name, 0.0) + dt
         self.counts[name] = self.counts.get(name, 0) + 1
