@@ -25,6 +25,15 @@ def build_argparser():
     p.add_argument("--image", default=None, help="benchmark frame (else board render)")
     p.add_argument("--breakdown", action="store_true",
                    help="also time detector-only and two-stage separately")
+    p.add_argument("--multi-stream", type=int, default=0,
+                   help="serve N independent video streams through "
+                        "serving.StreamServer (BASELINE config #5 protocol "
+                        "at the configured resolution — use "
+                        "--config with input_size 640x480 or --size 640x480) "
+                        "and report aggregate fps + per-step latency")
+    p.add_argument("--size", default=None,
+                   help="override input resolution WxH (e.g. 640x480)")
+    p.add_argument("--frames-per-stream", type=int, default=64)
     p.add_argument("--fused-head", action="store_true",
                    help="A/B the detector→keypoints stage: XLA heads + jnp "
                         "decode vs the fused Pallas head+decode kernel "
@@ -124,6 +133,11 @@ def main(argv=None):
     from deepcharuco_tpu.board import inner_corner_object_points
 
     cfg = load_configuration(args.config) if args.config else default_config()
+    if args.size:
+        import dataclasses as _dc
+
+        w, h = (int(v) for v in args.size.lower().split("x"))
+        cfg = _dc.replace(cfg, input_size=(w, h))
     det = Detector(n_ids=cfg.n_ids)
     rn = RefineNet()
     dv = jax.device_put(load_model_variables(args.deepc, "detector", cfg.n_ids))
@@ -134,6 +148,50 @@ def main(argv=None):
         import cv2
 
         frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+
+    if args.multi_stream > 0:
+        # BASELINE config #5: N independent streams at the configured
+        # resolution through serving.StreamServer (one fused executable,
+        # double-buffered steps; results fetched by the server itself —
+        # honest completion by construction).
+        from deepcharuco_tpu.pipeline import InferencePipeline
+        from deepcharuco_tpu.serving import StreamServer, VideoStream
+
+        pipe = InferencePipeline(cfg, dv, rv)
+        rng = np.random.default_rng(0)
+
+        def stream_frames(sid):
+            for i in range(args.frames_per_stream):
+                noise = rng.integers(-25, 26, frame.shape, np.int16)
+                yield np.clip(frame.astype(np.int16) + noise + sid,
+                              0, 255).astype(np.uint8)
+
+        streams = [VideoStream(stream_frames(s), name=f"s{s}")
+                   for s in range(args.multi_stream)]
+        server = StreamServer(pipe, streams)
+        # warmup: a throwaway server at the SAME stream count (= same batch
+        # shape = same executable) compiles the program outside the timing
+        warm = [VideoStream(iter([frame]), name="warm")
+                for _ in range(args.multi_stream)]
+        for _ in StreamServer(pipe, warm).run():
+            pass
+        n_frames = 0
+        lat = []
+        t0 = time.perf_counter()
+        t_prev = t0
+        for results in server.run():
+            now = time.perf_counter()
+            lat.append(now - t_prev)
+            t_prev = now
+            n_frames += len(results)
+        dt = time.perf_counter() - t0
+        lat_ms = 1000 * np.median(lat)
+        h, w = cfg.input_hw
+        print(f"multi-stream: {args.multi_stream} streams @ {w}x{h}: "
+              f"{n_frames / dt:.1f} fps aggregate "
+              f"({n_frames / dt / args.multi_stream:.1f} fps/stream), "
+              f"median step latency {lat_ms:.1f} ms")
+        return
     frames = np.broadcast_to(frame, (args.batch, *frame.shape)).copy()
     x = jnp.asarray(frames)
 
