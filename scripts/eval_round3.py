@@ -1,0 +1,146 @@
+"""Round-3 acceptance evaluation — run after a detector training run frees
+the chip. Scores a candidate detector checkpoint against every VERDICT r2
+target in one pass and prints a verdict table:
+
+- device-stream recall@3px + raw err stats (target: recall ≥ 0.965)
+- HOST (reference-semantics cv2) recall@3px   (target: ≥ 0.965)
+- wrong-cell outlier rate (>3 px predictions at min_margin=None;
+  target: < 0.05%)
+- frontal in-distribution probe at scale 1.0  (target: ≥ 14/16 per frame)
+- real photo IMG_7412 corners                  (target: ≥ 14/16)
+
+Usage: python scripts/eval_round3.py <detector.npz-or-ckpt-name> [--samples N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("detector")
+    ap.add_argument("--refinenet", default="artifacts/refinenet_devsynth.npz")
+    ap.add_argument("--samples", type=int, default=512)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepcharuco_tpu.configs import default_config
+    from deepcharuco_tpu.data.device_synth import DeviceSynthesizer
+    from deepcharuco_tpu.models import Detector
+    from deepcharuco_tpu.ops import label_to_keypoints, pred_to_keypoints
+    from deepcharuco_tpu.pipeline import load_model_variables
+
+    cfg = default_config()
+    det = Detector(n_ids=cfg.n_ids, dtype=jnp.float32)
+    dv = load_model_variables(args.detector, "detector", cfg.n_ids)
+
+    @jax.jit
+    def fwd(images):
+        out = det.apply(dv, images)
+        return pred_to_keypoints(out["loc"], out["ids"], cfg.n_ids)
+
+    def score(batches, name, per_frame_target=None):
+        """batches: iterable of (images, kp_true, valid_true)."""
+        errs, n_match, n_tgt, n_pred, n_out = [], 0, 0, 0, 0
+        frames_ok = frames_tot = 0
+        for images, kp_t, v_t in batches:
+            kp, v = fwd(images)
+            kp, v = np.asarray(kp), np.asarray(v)
+            kp_t, v_t = np.asarray(kp_t), np.asarray(v_t)
+            both = v & v_t
+            d = np.linalg.norm(kp - kp_t, axis=-1)
+            errs.append(d[both])
+            n_match += int((d[both] < 3.0).sum())
+            n_tgt += int(v_t.sum())
+            n_pred += int(v.sum())
+            n_out += int((d[both] >= 3.0).sum())
+            if per_frame_target:
+                good = (both & (d < 3.0)).sum(axis=1)
+                frames_ok += int((good >= per_frame_target).sum())
+                frames_tot += images.shape[0]
+        e = np.concatenate(errs) if errs else np.zeros(1)
+        recall = n_match / max(1, n_tgt)
+        out_rate = n_out / max(1, n_pred)
+        line = (f"{name:22s} recall@3px {recall:.3f}  raw mean {e.mean():.3f}px"
+                f"  max {e.max():.1f}px  outliers {100 * out_rate:.3f}%")
+        if per_frame_target:
+            line += f"  frames ≥{per_frame_target}/16: {frames_ok}/{frames_tot}"
+        print(line, flush=True)
+        return recall, out_rate
+
+    bs = 16
+    nb = max(1, args.samples // bs)
+
+    # 1) device stream (round-2-comparable: default diet, no bank/perspective)
+    synth = DeviceSynthesizer(cfg)
+    full = jax.jit(lambda key: jax.vmap(synth._sample_full)(
+        jax.random.split(key, bs)))
+
+    def device_batches():
+        for j in range(nb):
+            images, _, _, kpts, vis = full(jax.random.PRNGKey(j))
+            yield images, kpts, vis
+
+    r_dev, o_dev = score(device_batches(), "device (r2 protocol)")
+
+    # 2) frontal probe at scale 1.0, standard photometrics
+    fr = DeviceSynthesizer(cfg, negative_p=0.0, axis_snap_p=1.0,
+                           scale_range=(1.0, 1.0001))
+    fr.translate_frac = (-0.1, 0.1)
+    fr_full = jax.jit(lambda key: jax.vmap(fr._sample_full)(
+        jax.random.split(key, bs)))
+
+    def frontal_batches():
+        for j in range(max(1, nb // 4)):
+            images, _, _, kpts, vis = fr_full(jax.random.PRNGKey(500 + j))
+            yield images, kpts, vis
+
+    score(frontal_batches(), "frontal scale=1.0", per_frame_target=14)
+
+    # 3) host (reference-semantics) stream
+    from deepcharuco_tpu.data import CharucoDataset
+
+    ds = CharucoDataset(cfg, validation=True)
+
+    def host_batches():
+        for j in range(nb):
+            items = [ds[j * bs + k] for k in range(bs)]
+            images = jnp.asarray(np.stack([it["image"] for it in items]))
+            loc = jnp.asarray(np.stack([it["loc"] for it in items]))
+            ids = jnp.asarray(np.stack([it["ids"] for it in items]))
+            kp_t, v_t = label_to_keypoints(loc, ids, cfg.n_ids)
+            yield images, kp_t, v_t
+
+    r_host, _ = score(host_batches(), "host (reference)")
+
+    # 4) real photo
+    import os
+
+    img_path = "/root/reference/src/reference/samples_test/IMG_7412.png"
+    if os.path.exists(img_path):
+        import cv2
+
+        from deepcharuco_tpu.ops import normalize_gray
+
+        img = cv2.imread(img_path)
+        g = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        kp, v = fwd(normalize_gray(jnp.asarray(g[None])))
+        found = int(np.asarray(v).sum())
+        print(f"{'IMG_7412':22s} corners {found}/16 "
+              f"(ids {np.nonzero(np.asarray(v)[0])[0].tolist()})")
+
+    print("\ntargets: device ≥0.965, host ≥0.965, outliers <0.05%, "
+          "frontal ≥14/16, photo ≥14/16")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
