@@ -88,7 +88,8 @@ def _to_gray_input(frames: jnp.ndarray) -> jnp.ndarray:
 def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
                       det_vars, rn_vars, frames, n_ids: int,
                       soft_refine: bool = False,
-                      min_margin: Optional[float] = None):
+                      min_margin: Optional[float] = None,
+                      decode_capacity: int = 1):
     """Detector → decode → patch gather → RefineNet → sub-pixel corners.
 
     Returns (keypoints, valid, refined): (N, n_ids, 2), (N, n_ids) bool,
@@ -99,15 +100,32 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
     sub-pixel positions, measurably better than the reference's hard argmax);
     ``min_margin`` filters low-confidence ids (see ``ops.pred_to_keypoints``).
     Both default off for reference parity.
+
+    ``decode_capacity > 1`` switches to the duplicate-preserving decode
+    (``ops.pred_to_keypoints_topk``): K slots per id, EVERY decoded cell
+    refined through RefineNet exactly as the reference refines its
+    variable-length keypoint list (``inference.py:55-57``). Output shapes
+    become (N, n_ids, K, 2) / (N, n_ids, K) / (N, n_ids, K, 2) — slot
+    [:, :, 0] is the default decode's winner.
     """
-    from deepcharuco_tpu.ops import refine_keypoints_soft
+    from deepcharuco_tpu.ops import pred_to_keypoints_topk, refine_keypoints_soft
 
     g = _to_gray_input(frames)
     out = detector.apply(det_vars, g)
-    keypoints, valid = pred_to_keypoints(out["loc"], out["ids"], n_ids,
-                                         min_margin=min_margin)
+    if decode_capacity > 1:
+        kp_k, valid_k = pred_to_keypoints_topk(out["loc"], out["ids"], n_ids,
+                                               capacity=decode_capacity,
+                                               min_margin=min_margin)
+        n = kp_k.shape[0]
+        keypoints = kp_k.reshape(n, n_ids * decode_capacity, 2)
+        valid = valid_k
+    else:
+        keypoints, valid = pred_to_keypoints(out["loc"], out["ids"], n_ids,
+                                             min_margin=min_margin)
     if refinenet is None:
-        return keypoints, valid, keypoints
+        kp_out = (keypoints.reshape(valid.shape + (2,))
+                  if decode_capacity > 1 else keypoints)
+        return kp_out, valid, kp_out
     patches = extract_patches(g, keypoints,
                               patch_size=getattr(refinenet, "patch_size", 24))
     n, k, p, _ = patches.shape
@@ -115,6 +133,9 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
     heat = heat.reshape(n, k, 64, 64)
     refined = (refine_keypoints_soft(heat, keypoints) if soft_refine
                else refine_keypoints(heat, keypoints))
+    if decode_capacity > 1:
+        shape = (n, n_ids, decode_capacity, 2)
+        return keypoints.reshape(shape), valid, refined.reshape(shape)
     return keypoints, valid, refined
 
 
@@ -274,7 +295,8 @@ class InferencePipeline:
                  soft_refine: bool = False,
                  min_margin: Optional[float] = None,
                  rn_upsample: str = "nearest",
-                 rn_patch_size: int = 24):
+                 rn_patch_size: int = 24,
+                 decode_capacity: int = 1):
         self.config = config
         self.n_ids = config.n_ids
         self.detector = Detector(n_ids=config.n_ids, dtype=compute_dtype)
@@ -289,10 +311,15 @@ class InferencePipeline:
                                        config.square_len)
         )
 
+        # decode_capacity > 1: duplicate-preserving detect() with K slots per
+        # id (reference keeps every cell; see two_stage_forward). The pose
+        # path is per-id by construction (object points indexed by id), so
+        # _full always runs the one-slot decode.
         self._two_stage = jax.jit(
             lambda dv, rv, x: two_stage_forward(
                 self.detector, self.refinenet, dv, rv, x, self.n_ids,
                 soft_refine=soft_refine, min_margin=min_margin,
+                decode_capacity=decode_capacity,
             )
         )
         if camera is not None:

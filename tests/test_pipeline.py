@@ -107,3 +107,60 @@ def test_inference_pipeline_soft_refine_and_margin():
     kp, valid, refined = pipe.detect(frames)
     assert refined.shape == (1, 16, 2)
     assert np.isfinite(refined).all()
+
+
+def test_two_stage_forward_decode_capacity_refines_duplicates():
+    """decode_capacity>1: BOTH cells claiming one id survive decode AND each
+    gets its own RefineNet patch/refinement — the reference refines every
+    decoded keypoint (inference.py:55-57), duplicates included. Slot 0 must
+    equal the default decode's winner."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepcharuco_tpu.configs import default_config
+    from deepcharuco_tpu.models import Detector, RefineNet
+    from deepcharuco_tpu.pipeline import two_stage_forward
+
+    cfg = default_config()
+    det = Detector(n_ids=cfg.n_ids, dtype=jnp.float32)
+    rn = RefineNet(dtype=jnp.float32)
+    dv = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 240, 320, 1)))
+    rv = rn.init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 1)))
+
+    frames = np.random.default_rng(0).integers(0, 255, (1, 240, 320),
+                                               np.uint8)
+
+    class _DupDet:
+        """Detector stand-in emitting two cells that claim id 5."""
+
+        def apply(self, variables, g):
+            hc, wc = g.shape[1] // 8, g.shape[2] // 8
+            loc = np.zeros((1, hc, wc, 65), np.float32)
+            ids = np.zeros((1, hc, wc, cfg.n_ids + 1), np.float32)
+            loc[..., 64] = 9.0
+            ids[..., cfg.n_ids] = 9.0
+            for (r, c, conf) in [(5, 5, 12.0), (20, 30, 11.0)]:
+                loc[0, r, c] = 0.0
+                loc[0, r, c, 27] = 9.0          # pix 27 → offset (3, 3)
+                ids[0, r, c] = 0.0
+                ids[0, r, c, 5] = conf
+            return {"loc": jnp.asarray(loc), "ids": jnp.asarray(ids)}
+
+    kp, valid, refined = two_stage_forward(_DupDet(), rn, dv, rv,
+                                           jnp.asarray(frames), cfg.n_ids,
+                                           decode_capacity=2)
+    kp, valid, refined = (np.asarray(kp), np.asarray(valid),
+                          np.asarray(refined))
+    assert kp.shape == (1, cfg.n_ids, 2, 2) and valid.shape == (1, cfg.n_ids, 2)
+    assert valid[0, 5].tolist() == [True, True]     # both duplicates kept
+    assert int(valid.sum()) == 2
+    np.testing.assert_array_equal(kp[0, 5, 0], [8 * 5 + 3, 8 * 5 + 3])
+    np.testing.assert_array_equal(kp[0, 5, 1], [8 * 30 + 3, 8 * 20 + 3])
+    # each duplicate refined from its OWN patch: refined within ±4px window
+    assert np.abs(refined[0, 5] - kp[0, 5]).max() <= 4.0
+
+    # slot 0 == default decode winner
+    kp1, valid1, _ = two_stage_forward(_DupDet(), rn, dv, rv,
+                                       jnp.asarray(frames), cfg.n_ids)
+    np.testing.assert_array_equal(np.asarray(kp1)[0, 5], kp[0, 5, 0])
