@@ -155,7 +155,14 @@ def cv2_aruco_detect(image, dictionary, board, parameters):
         # well-formed empty array instead of branching on the exception
         if rejected is None or len(rejected) == 0:
             rejected = np.empty((0, 1, 4, 2), np.float32)
-        corners, ids, rejected, _ = refine(image, board, corners, ids, rejected)
+        try:
+            corners, ids, rejected, _ = refine(image, board, corners, ids,
+                                               rejected)
+        except (TypeError, cv2.error):
+            # builds that choke on the tuple-of-arrays rejected format:
+            # retry without rejected candidates rather than lose the frame
+            corners, ids, rejected, _ = refine(
+                image, board, corners, ids, np.empty((0, 1, 4, 2), np.float32))
 
     annotated = image
     if ids is not None and len(corners) > 0:

@@ -62,12 +62,13 @@ def _frame(cfg, args):
     return frame
 
 
-def _input_variants(x, n: int = 8):
+def _input_variants(x, n):
     """Device-resident content-varied copies of a frame batch: per-copy iid
     noise defeats the tunnel's identical-execution replay (CLAUDE.md
     measurement hygiene; a repeated SAME-payload dispatch can read impossibly
     fast). Inputs stay resident, so the loop still times dispatch+compute,
-    not transfer."""
+    not transfer. Callers pass n = the iteration count so no (program,
+    input) pair repeats inside a timed loop."""
     import jax
     import numpy as np
 
@@ -84,35 +85,26 @@ def _input_variants(x, n: int = 8):
     return out
 
 
-def _force(out):
-    """Fetch one output leaf to host. Through the axon tunnel
-    ``block_until_ready`` alone does not guarantee the execution really ran
-    (BENCH_NOTES "Round-3 benchmark protocol"); a value fetch does — an
-    execution only materializes output buffers by completing."""
-    import jax
-    import numpy as np
-
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf)
-
-
 def _time_fn(fn, args_tuples, iters, warmup):
     """Time ``fn`` over a *list* of argument tuples, cycled per iteration —
     every call gets content-varied input (see :func:`_input_variants`) and
-    every result is value-fetched (see :func:`_force`). One call stays in
-    flight (depth-1 pipelining), so the figure is throughput incl. dispatch."""
+    every result is value-fetched (``profiling.force_fetch`` — the only
+    completion signal the tunnel cannot fake). One call stays in flight
+    (depth-1 pipelining), so the figure is throughput incl. dispatch."""
+    from deepcharuco_tpu.profiling import force_fetch
+
     n = len(args_tuples)
     for i in range(warmup):
         out = fn(*args_tuples[i % n])
-    _force(out)
+    force_fetch(out)
     t0 = time.perf_counter()
     prev = None
     for i in range(iters):
         out = fn(*args_tuples[i % n])
         if prev is not None:
-            _force(prev)
+            force_fetch(prev)
         prev = out
-    _force(prev)
+    force_fetch(prev)
     return time.perf_counter() - t0
 
 
@@ -206,7 +198,7 @@ def main(argv=None):
     else:
         fn = jax.jit(lambda dv, rv, x: two_stage_forward(det, rn, dv, rv, x, cfg.n_ids))
 
-    xs = _input_variants(x)
+    xs = _input_variants(x, args.iters)
     dt = _time_fn(fn, [(dv, rv, v) for v in xs], args.iters, args.warmup)
     fps = args.batch * args.iters / dt
     label = "full+pose" if args.with_pose else "two-stage"

@@ -352,9 +352,22 @@ class InferencePipeline:
         return tuple(np.asarray(o) for o in out)
 
     def keypoint_array(self, refined: np.ndarray, valid: np.ndarray):
-        """One frame's (n_ids, 2) + mask → the reference's (M, 3) float
-        ``[x, y, id]`` rows sorted by id (``inference.py:68-69``)."""
-        ids = np.nonzero(valid)[0]
+        """One frame's keypoints + mask → the reference's (M, 3) float
+        ``[x, y, id]`` rows sorted by id (``inference.py:68-69``).
+
+        Accepts both decode shapes: (n_ids, 2)/(n_ids,) from the default
+        pipeline, or (n_ids, K, 2)/(n_ids, K) from a ``decode_capacity > 1``
+        pipeline — duplicate slots become duplicate rows with the same id,
+        exactly the reference's variable-length output."""
+        refined = np.asarray(refined)
+        valid = np.asarray(valid)
+        if valid.ndim == 2:  # capacity-K decode: flatten slots
+            ids2d, slots = np.nonzero(valid)
+            rows = refined[ids2d, slots]
+            ids = ids2d
+        else:
+            ids = np.nonzero(valid)[0]
+            rows = refined[ids]
         return np.concatenate(
-            [refined[ids], ids[:, None].astype(refined.dtype)], axis=1
+            [rows, ids[:, None].astype(refined.dtype)], axis=1
         )

@@ -17,6 +17,28 @@ import time
 from typing import Dict, Optional
 
 
+def force_fetch(tree) -> None:
+    """Force completion of every execution whose outputs appear in ``tree``
+    by fetching one leaf value per top-level element to the host.
+
+    Through the axon tunnel ``jax.block_until_ready`` alone does not
+    guarantee an execution really ran (BENCH_NOTES "Round-3 benchmark
+    protocol"); an execution can only materialize an output value on the
+    host by completing, and one leaf per execution suffices (all outputs of
+    one executable complete together). Pass a list/tuple whose elements come
+    from distinct dispatches to force each of them; a bare output tree
+    counts as one element.
+    """
+    import jax
+    import numpy as np
+
+    elements = tree if isinstance(tree, (list, tuple)) else [tree]
+    for el in elements:
+        leaves = jax.tree_util.tree_leaves(el)
+        if leaves:
+            np.asarray(leaves[0])
+
+
 @contextlib.contextmanager
 def trace(logdir: str = "/tmp/dctpu_trace"):
     """Capture a jax.profiler trace (open with TensorBoard's profile tab)."""
@@ -43,24 +65,15 @@ class StageTimer:
         self.totals: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
 
-    @staticmethod
-    def _sync(x):
-        import jax
-        import numpy as np
-
-        leaves = jax.tree_util.tree_leaves(x)
-        if leaves:
-            np.asarray(leaves[0])
-
     @contextlib.contextmanager
     def stage(self, name: str, sync=None):
         if sync is not None:
-            self._sync(sync)
+            force_fetch(sync)
         t0 = time.perf_counter()
         out = {}
         yield out
         if "result" in out:
-            self._sync(out["result"])
+            force_fetch(out["result"])
         dt = time.perf_counter() - t0
         self.totals[name] = self.totals.get(name, 0.0) + dt
         self.counts[name] = self.counts.get(name, 0) + 1

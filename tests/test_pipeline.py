@@ -164,3 +164,32 @@ def test_two_stage_forward_decode_capacity_refines_duplicates():
     kp1, valid1, _ = two_stage_forward(_DupDet(), rn, dv, rv,
                                        jnp.asarray(frames), cfg.n_ids)
     np.testing.assert_array_equal(np.asarray(kp1)[0, 5], kp[0, 5, 0])
+
+
+def test_keypoint_array_capacity_shapes():
+    """keypoint_array must emit the reference's (M,3) [x,y,id] rows for BOTH
+    decode shapes — incl. duplicate slots from a capacity-K pipeline."""
+    import numpy as np
+
+    from deepcharuco_tpu.configs import default_config
+    from deepcharuco_tpu.pipeline import InferencePipeline
+
+    pipe = InferencePipeline.__new__(InferencePipeline)  # method is pure
+
+    refined = np.zeros((16, 2), np.float32)
+    refined[3] = [10.0, 20.0]
+    valid = np.zeros(16, bool)
+    valid[3] = True
+    rows = pipe.keypoint_array(refined, valid)
+    np.testing.assert_array_equal(rows, [[10.0, 20.0, 3.0]])
+
+    refined_k = np.zeros((16, 2, 2), np.float32)
+    refined_k[5, 0] = [1.0, 2.0]
+    refined_k[5, 1] = [3.0, 4.0]
+    refined_k[7, 0] = [5.0, 6.0]
+    valid_k = np.zeros((16, 2), bool)
+    valid_k[5] = [True, True]
+    valid_k[7, 0] = True
+    rows = pipe.keypoint_array(refined_k, valid_k)
+    np.testing.assert_array_equal(
+        rows, [[1.0, 2.0, 5.0], [3.0, 4.0, 5.0], [5.0, 6.0, 7.0]])
