@@ -61,6 +61,10 @@ def build_argparser():
                    help="weight of the soft-argmax coordinate loss (image-px "
                         "squared error between decoded predicted and target "
                         "positions); 0 = reference-parity MSE only")
+    p.add_argument("--perspective-p", type=float, default=0.0,
+                   help="with --frame-patches: probability of projective "
+                        "source-frame warps (match the detector's "
+                        "--perspective-p diet)")
     p.add_argument("--fused-steps", type=int, default=1,
                    help="with --device-synth: lax.scan K synthesis+train "
                         "steps per dispatch (RefineNet steps are tiny and "
@@ -142,7 +146,8 @@ def main(argv=None):
 
         cont = not args.rounded_targets
         device_synth = (FramePatchSynthesizer(cfg, continuous_targets=cont,
-                                              patch_size=args.patch_size)
+                                              patch_size=args.patch_size,
+                                              perspective_p=args.perspective_p)
                         if args.frame_patches
                         else DeviceRefineSynthesizer(cfg, continuous_targets=cont,
                                                      patch_size=args.patch_size))

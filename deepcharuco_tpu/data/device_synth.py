@@ -439,8 +439,9 @@ class FramePatchSynthesizer:
 
     def __init__(self, config: Config, jitter_px: float = 3.0,
                  per_frame: int = 8, continuous_targets: bool = True,
-                 patch_size: int = 24):
-        self.inner = DeviceSynthesizer(config, negative_p=0.0)
+                 patch_size: int = 24, perspective_p: float = 0.0):
+        self.inner = DeviceSynthesizer(config, negative_p=0.0,
+                                       perspective_p=perspective_p)
         self.hw = config.input_hw
         self.n_ids = config.n_ids
         self.jitter = jitter_px
