@@ -30,6 +30,10 @@ def build_argparser():
                         "semantics) or exact warp-derived sub-pixel positions "
                         "(device source only; the honest metric for refined "
                         "corners)")
+    p.add_argument("--rn-offset", action="store_true",
+                   help="decode via the direct offset-regression branch "
+                        "(requires a checkpoint trained with "
+                        "--offset-weight; overrides --soft-argmax)")
     p.add_argument("--soft-argmax", action="store_true",
                    help="decode the refine heatmap with soft-argmax "
                         "(continuous sub-pixel) instead of hard argmax")
@@ -75,7 +79,7 @@ def main(argv=None):
     cfg = load_configuration(args.config) if args.config else default_config()
     det = Detector(n_ids=cfg.n_ids, dtype=jnp.float32)
     rn = RefineNet(dtype=jnp.float32, upsample=args.rn_upsample,
-                   patch_size=args.rn_patch_size)
+                   patch_size=args.rn_patch_size, offset_head=args.rn_offset)
     dv = load_model_variables(args.deepc, "detector", cfg.n_ids)
     rv = load_model_variables(args.refinenet, "refinenet")
     if args.deepc is None:
@@ -88,10 +92,13 @@ def main(argv=None):
                                       min_margin=args.min_margin)
         patches = extract_patches(images, kp, patch_size=args.rn_patch_size)
         n, k, p, _ = patches.shape
-        heat = rn.apply(rv, patches.reshape(n * k, p, p, 1))
-        heat = heat.reshape(n, k, 64, 64)
-        refined = (refine_keypoints_soft(heat, kp) if args.soft_argmax
-                   else refine_keypoints(heat, kp))
+        out = rn.apply(rv, patches.reshape(n * k, p, p, 1))
+        if args.rn_offset:
+            refined = kp + out["offset"].reshape(n, k, 2)
+        else:
+            heat = out.reshape(n, k, 64, 64)
+            refined = (refine_keypoints_soft(heat, kp) if args.soft_argmax
+                       else refine_keypoints(heat, kp))
         return kp, valid, refined
 
     bs = 16

@@ -57,6 +57,11 @@ def build_argparser():
                    help="decoder upsampling: nearest = reference parity; "
                         "bilinear = smoother interpolation (parameter-free, "
                         "checkpoint-compatible)")
+    p.add_argument("--offset-weight", type=float, default=0.0,
+                   help="weight of the direct offset-regression branch loss "
+                        "(adds RefineNet(offset_head=True): image-px squared "
+                        "error of the regressed (dx,dy) vs the target "
+                        "sub-pixel offset); 0 = heatmap-only parity net")
     p.add_argument("--coord-weight", type=float, default=0.0,
                    help="weight of the soft-argmax coordinate loss (image-px "
                         "squared error between decoded predicted and target "
@@ -102,7 +107,8 @@ def main(argv=None):
         raise SystemExit("--patch-size 32 requires --device-synth (the host "
                          "RefineNetDataset emits reference-parity 24x24)")
     rn = RefineNet(dtype=jnp.float32, upsample=args.upsample,
-                   patch_size=args.patch_size)
+                   patch_size=args.patch_size,
+                   offset_head=args.offset_weight > 0.0)
     tx = optax.adam(args.lr)
     tx, state = create_refinenet_state(rn, jax.random.PRNGKey(0), tx=tx)
 
@@ -178,7 +184,8 @@ def main(argv=None):
         h = batch["heatmaps"].reshape(-1, 64, 64, 1)
         return p, h
 
-    step_fn = make_refinenet_train_step(rn, tx, coord_weight=args.coord_weight)
+    step_fn = make_refinenet_train_step(rn, tx, coord_weight=args.coord_weight,
+                                        offset_weight=args.offset_weight)
     step = jax.jit(step_fn, donate_argnums=(0,))
     K = max(1, args.fused_steps)
     fused_multi = None
@@ -192,7 +199,8 @@ def main(argv=None):
                                lambda k: device_synth.batch_body(k, bs_patches),
                                fused_steps=K),
             donate_argnums=(0,))
-    eval_fn = jax.jit(make_refinenet_eval_step(rn))
+    eval_fn = jax.jit(make_refinenet_eval_step(
+        rn, offset_weight=args.offset_weight))
     metric_fn = jax.jit(refinenet_metric)
 
     logger = ScalarLogger(args.logdir)

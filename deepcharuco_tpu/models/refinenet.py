@@ -74,12 +74,23 @@ class RefineNet(nn.Module):
     ``upsample="nearest"`` (default) is reference parity; ``"bilinear"`` is
     the beyond-parity smooth-interpolation variant — parameter-free, so both
     modes share checkpoints/weights.
+
+    ``offset_head=True`` adds a direct sub-pixel offset-regression branch
+    (round-3 accuracy lever, VERDICT r2 weak #2): the reference decode
+    quantizes the 64×64 heatmap argmax to a 1/8-px grid and even soft-argmax
+    interpolates over resampled heat values, while this branch regresses the
+    continuous (dx, dy) image-px offset of the true corner from the patch
+    center straight off the 8×8 bottleneck features — no intermediate
+    heatmap, no grid. The heatmap path is untouched (same names/shapes), so
+    heatmap-only checkpoints warm-start an offset-head net with only the
+    branch fresh. When enabled ``__call__`` returns ``{"heat", "offset"}``.
     """
 
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     upsample: str = "nearest"
     patch_size: int = 24
+    offset_head: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -105,6 +116,7 @@ class RefineNet(nn.Module):
 
         x = ConvBNRelu(c3, name="conv3a", **dt)(x, train)
         x = ConvBNRelu(c3, name="conv3b", **dt)(x, train)
+        bottleneck = x  # (N, 8, 8, c3) — shared trunk tap for the offset head
         x = up(x)  # 8 → 16
         x = ConvBNRelu(c4, name="conv4a", **dt)(x, train)
         x = ConvBNRelu(c4, name="conv4b", **dt)(x, train)
@@ -116,4 +128,20 @@ class RefineNet(nn.Module):
         # Head (ref refinenet.py:81-83): conv-bn-relu then 1×1, no activation.
         x = ConvBNRelu(64, name="convPa", **dt)(x, train)
         heat = nn.Conv(1, (1, 1), name="convPb", **dt)(x)
-        return heat.astype(jnp.float32)
+        heat = heat.astype(jnp.float32)
+        if not self.offset_head:
+            return heat
+
+        # Offset branch: 8×8 bottleneck → conv → pool → MLP → (dx, dy) in
+        # image px relative to the patch center (the same quantity the
+        # heatmap decode reconstructs as (argmax − 32)/8). Linear output —
+        # targets live within the ±4 px heatmap window, no squashing needed.
+        o = ConvBNRelu(128, name="convOa", **dt)(bottleneck, train)
+        o = _pool(o)  # 8 → 4
+        o = o.reshape(o.shape[0], -1)
+        o = nn.Dense(256, name="denseOa", dtype=self.dtype,
+                     param_dtype=self.param_dtype)(o)
+        o = nn.relu(o)
+        offset = nn.Dense(2, name="denseOb", dtype=self.dtype,
+                          param_dtype=self.param_dtype)(o)
+        return {"heat": heat, "offset": offset.astype(jnp.float32)}

@@ -7,6 +7,7 @@ from deepcharuco_tpu.ops.decode import (
     pred_to_keypoints_topk,
     heatmap_argmax2d,
     refine_keypoints,
+    refine_keypoints_offset,
     refine_keypoints_soft,
 )
 from deepcharuco_tpu.ops.patches import extract_patches
@@ -23,6 +24,7 @@ __all__ = [
     "pred_to_keypoints_topk",
     "heatmap_argmax2d",
     "refine_keypoints",
+    "refine_keypoints_offset",
     "refine_keypoints_soft",
     "extract_patches",
     "gaussian_heatmap",

@@ -232,3 +232,15 @@ def refine_keypoints_soft(heat: jnp.ndarray, keypoints: jnp.ndarray,
     """
     corners = soft_argmax_2d(heat, temperature)
     return (corners - 32.0) / 8.0 + keypoints
+
+
+def refine_keypoints_offset(offsets: jnp.ndarray,
+                            keypoints: jnp.ndarray) -> jnp.ndarray:
+    """Offset-head decode: the regression branch already predicts the corner's
+    continuous (dx, dy) image-px displacement from the patch center — the
+    quantity the heatmap decodes reconstruct as ``(argmax − 32)/8``
+    (``refine_keypoints``) — so refinement is a plain add, grid-free.
+
+    offsets: (..., 2) from ``RefineNet(offset_head=True)``; keypoints: (..., 2).
+    """
+    return keypoints + offsets

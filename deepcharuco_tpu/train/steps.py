@@ -164,7 +164,8 @@ def detector_loss_fn(det: Detector, params, batch_stats, images, loc_labels,
 
 
 def refinenet_loss_fn(rn: RefineNet, params, batch_stats, patches, heatmaps,
-                      train: bool = True, coord_weight: float = 0.0):
+                      train: bool = True, coord_weight: float = 0.0,
+                      offset_weight: float = 0.0):
     """MSE on heatmaps; patches (N,24,24,1), heatmaps (N,64,64,1)
     (ref refinenet.py:163-175).
 
@@ -176,15 +177,22 @@ def refinenet_loss_fn(rn: RefineNet, params, batch_stats, patches, heatmaps,
     decodes (``ops.refine_keypoints_soft``). The target position is recovered
     by soft-argmaxing the target Gaussian itself (exact to <0.002 px for the
     continuous-center labels), so the step signature stays (patches, heats).
+
+    ``offset_weight > 0`` trains the direct offset-regression branch
+    (``RefineNet(offset_head=True)``): squared image-px error between the
+    branch's (dx, dy) and the target offset, recovered from the target
+    Gaussian the same soft-argmax way. The heatmap MSE keeps training the
+    parity path alongside.
     """
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
-        heat, mutated = rn.apply(variables, patches, train=True,
-                                 mutable=["batch_stats"])
+        out, mutated = rn.apply(variables, patches, train=True,
+                                mutable=["batch_stats"])
         new_stats = mutated["batch_stats"]
     else:
-        heat = rn.apply(variables, patches)
+        out = rn.apply(variables, patches)
         new_stats = batch_stats
+    heat = out["heat"] if isinstance(out, dict) else out
     loss = jnp.mean((heat - heatmaps) ** 2)
     aux = {"loss": loss}
     if coord_weight > 0.0:
@@ -195,6 +203,13 @@ def refinenet_loss_fn(rn: RefineNet, params, batch_stats, patches, heatmaps,
         loss_coord = jnp.mean(jnp.sum((pred_xy - true_xy) ** 2, axis=-1))
         loss = loss + coord_weight * loss_coord
         aux = {**aux, "loss": loss, "loss_coord": loss_coord}
+    if offset_weight > 0.0:
+        from deepcharuco_tpu.ops.decode import soft_argmax_2d
+
+        true_off = (soft_argmax_2d(heatmaps) - 32.0) / 8.0   # image px
+        loss_off = jnp.mean(jnp.sum((out["offset"] - true_off) ** 2, axis=-1))
+        loss = loss + offset_weight * loss_off
+        aux = {**aux, "loss": loss, "loss_offset": loss_off}
     return loss, (aux, new_stats, heat)
 
 
@@ -226,11 +241,13 @@ def make_detector_train_step(det: Detector,
 
 def make_refinenet_train_step(rn: RefineNet,
                               tx: optax.GradientTransformation,
-                              coord_weight: float = 0.0) -> Callable:
+                              coord_weight: float = 0.0,
+                              offset_weight: float = 0.0) -> Callable:
     def step(state: TrainState, patches, heatmaps):
         (loss, (aux, new_stats, _)), grads = jax.value_and_grad(
             lambda p: refinenet_loss_fn(rn, p, state.batch_stats, patches,
-                                        heatmaps, coord_weight=coord_weight),
+                                        heatmaps, coord_weight=coord_weight,
+                                        offset_weight=offset_weight),
             has_aux=True,
         )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -252,11 +269,13 @@ def make_detector_eval_step(det: Detector) -> Callable:
     return step
 
 
-def make_refinenet_eval_step(rn: RefineNet) -> Callable:
+def make_refinenet_eval_step(rn: RefineNet,
+                             offset_weight: float = 0.0) -> Callable:
     def step(state: TrainState, patches, heatmaps):
         _, (aux, _, heat) = refinenet_loss_fn(rn, state.params,
                                               state.batch_stats, patches,
-                                              heatmaps, train=False)
+                                              heatmaps, train=False,
+                                              offset_weight=offset_weight)
         return aux, heat
 
     return step
