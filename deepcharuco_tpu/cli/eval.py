@@ -34,6 +34,11 @@ def build_argparser():
                    help="decode via the direct offset-regression branch "
                         "(requires a checkpoint trained with "
                         "--offset-weight; overrides --soft-argmax)")
+    p.add_argument("--rn-avg", action="store_true",
+                   help="average the soft-argmax heatmap decode and the "
+                        "offset-branch decode — two partly-independent "
+                        "estimators of the same corner (requires an "
+                        "offset-head checkpoint; overrides --rn-offset)")
     p.add_argument("--soft-argmax", action="store_true",
                    help="decode the refine heatmap with soft-argmax "
                         "(continuous sub-pixel) instead of hard argmax")
@@ -79,9 +84,16 @@ def main(argv=None):
     cfg = load_configuration(args.config) if args.config else default_config()
     det = Detector(n_ids=cfg.n_ids, dtype=jnp.float32)
     rn = RefineNet(dtype=jnp.float32, upsample=args.rn_upsample,
-                   patch_size=args.rn_patch_size, offset_head=args.rn_offset)
+                   patch_size=args.rn_patch_size,
+                   offset_head=args.rn_offset or args.rn_avg)
     dv = load_model_variables(args.deepc, "detector", cfg.n_ids)
-    rv = load_model_variables(args.refinenet, "refinenet")
+    if args.refinenet is None:
+        # init must match THIS eval's architecture (patch size / offset head),
+        # not load_model_variables' default 24-patch parity net
+        ps = args.rn_patch_size
+        rv = rn.init(jax.random.PRNGKey(0), jnp.zeros((1, ps, ps, 1), jnp.float32))
+    else:
+        rv = load_model_variables(args.refinenet, "refinenet")
     if args.deepc is None:
         print("WARNING: random detector weights")
 
@@ -93,10 +105,15 @@ def main(argv=None):
         patches = extract_patches(images, kp, patch_size=args.rn_patch_size)
         n, k, p, _ = patches.shape
         out = rn.apply(rv, patches.reshape(n * k, p, p, 1))
-        if args.rn_offset:
+        if args.rn_avg:
+            heat = out["heat"].reshape(n, k, 64, 64)
+            refined = 0.5 * (refine_keypoints_soft(heat, kp)
+                             + kp + out["offset"].reshape(n, k, 2))
+        elif args.rn_offset:
             refined = kp + out["offset"].reshape(n, k, 2)
         else:
-            heat = out.reshape(n, k, 64, 64)
+            heat = (out["heat"] if isinstance(out, dict) else out)
+            heat = heat.reshape(n, k, 64, 64)
             refined = (refine_keypoints_soft(heat, kp) if args.soft_argmax
                        else refine_keypoints(heat, kp))
         return kp, valid, refined

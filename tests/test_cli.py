@@ -225,3 +225,15 @@ def test_train_cli_bg_bank_and_perspective(tmp_path, capsys):
           "--ckpt-dir", str(tmp_path / "ckpts")])
     out = capsys.readouterr().out
     assert "best checkpoint" in out
+
+
+def test_eval_cli_rn_avg_decode(capsys):
+    """--rn-avg: averaged heatmap-soft-argmax + offset-branch decode runs
+    with random offset-head weights and reports finite errors."""
+    from deepcharuco_tpu.cli.eval import main
+
+    out = main(["--samples", "16", "--source", "device", "--truth", "subpixel",
+                "--rn-avg", "--rn-patch-size", "32"])
+    captured = capsys.readouterr().out
+    assert "refined corner error" in captured
+    assert 0.0 <= out["recall"] <= 1.0
