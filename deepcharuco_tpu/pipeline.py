@@ -89,7 +89,8 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
                       det_vars, rn_vars, frames, n_ids: int,
                       soft_refine: bool = False,
                       min_margin: Optional[float] = None,
-                      decode_capacity: int = 1):
+                      decode_capacity: int = 1,
+                      rn_decode: Optional[str] = None):
     """Detector → decode → patch gather → RefineNet → sub-pixel corners.
 
     Returns (keypoints, valid, refined): (N, n_ids, 2), (N, n_ids) bool,
@@ -107,6 +108,13 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
     variable-length keypoint list (``inference.py:55-57``). Output shapes
     become (N, n_ids, K, 2) / (N, n_ids, K) / (N, n_ids, K, 2) — slot
     [:, :, 0] is the default decode's winner.
+
+    ``rn_decode`` selects the refinement decode explicitly (overriding
+    ``soft_refine``): ``"hard"`` (reference argmax), ``"soft"``
+    (soft-argmax), ``"offset"`` (the direct offset-regression branch), or
+    ``"avg"`` (mean of the soft-argmax and offset estimates — the measured
+    best, see BENCH_NOTES round 3). ``"offset"``/``"avg"`` require a
+    ``RefineNet(offset_head=True)`` and matching checkpoint.
     """
     from deepcharuco_tpu.ops import pred_to_keypoints_topk, refine_keypoints_soft
 
@@ -129,10 +137,26 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
     patches = extract_patches(g, keypoints,
                               patch_size=getattr(refinenet, "patch_size", 24))
     n, k, p, _ = patches.shape
-    heat = refinenet.apply(rn_vars, patches.reshape(n * k, p, p, 1))
+    out_rn = refinenet.apply(rn_vars, patches.reshape(n * k, p, p, 1))
+    if isinstance(out_rn, dict):
+        heat, offset = out_rn["heat"], out_rn["offset"].reshape(n, k, 2)
+    else:
+        heat, offset = out_rn, None
     heat = heat.reshape(n, k, 64, 64)
-    refined = (refine_keypoints_soft(heat, keypoints) if soft_refine
-               else refine_keypoints(heat, keypoints))
+    mode = rn_decode or ("soft" if soft_refine else "hard")
+    if mode in ("offset", "avg") and offset is None:
+        raise ValueError(
+            f"rn_decode={mode!r} needs RefineNet(offset_head=True) and an "
+            "offset-trained checkpoint")
+    if mode == "offset":
+        refined = keypoints + offset
+    elif mode == "avg":
+        refined = 0.5 * (refine_keypoints_soft(heat, keypoints)
+                         + keypoints + offset)
+    elif mode == "soft":
+        refined = refine_keypoints_soft(heat, keypoints)
+    else:
+        refined = refine_keypoints(heat, keypoints)
     if decode_capacity > 1:
         shape = (n, n_ids, decode_capacity, 2)
         return keypoints.reshape(shape), valid, refined.reshape(shape)
@@ -143,11 +167,12 @@ def full_forward(detector: Detector, refinenet: Optional[RefineNet],
                  det_vars, rn_vars, frames, n_ids: int,
                  object_points, K, dist, pnp_iters: int = 20,
                  soft_refine: bool = False,
-                 min_margin: Optional[float] = None):
+                 min_margin: Optional[float] = None,
+                 rn_decode: Optional[str] = None):
     """:func:`two_stage_forward` + batched planar PnP, all in one program."""
     keypoints, valid, refined = two_stage_forward(
         detector, refinenet, det_vars, rn_vars, frames, n_ids,
-        soft_refine=soft_refine, min_margin=min_margin,
+        soft_refine=soft_refine, min_margin=min_margin, rn_decode=rn_decode,
     )
     solve = lambda ip, v: solve_pnp(object_points, ip, v, K, dist, iters=pnp_iters)
     ok, rvec, tvec, rms = jax.vmap(solve)(refined, valid)
@@ -270,7 +295,8 @@ def load_pipeline(config: Config, deepc_ckpt: Optional[str] = None,
                   camera: Optional[Camera] = None,
                   compute_dtype=jnp.bfloat16,
                   rn_upsample: str = "nearest",
-                  rn_patch_size: int = 24) -> "InferencePipeline":
+                  rn_patch_size: int = 24,
+                  rn_decode: Optional[str] = None) -> "InferencePipeline":
     """Parity entry point for reference ``load_models`` + pipeline assembly."""
     dv = load_model_variables(deepc_ckpt, "detector", config.n_ids)
     rv = (load_model_variables(refinenet_ckpt, "refinenet")
@@ -278,7 +304,8 @@ def load_pipeline(config: Config, deepc_ckpt: Optional[str] = None,
     return InferencePipeline(config, dv, rv, camera=camera,
                              compute_dtype=compute_dtype,
                              rn_upsample=rn_upsample,
-                             rn_patch_size=rn_patch_size)
+                             rn_patch_size=rn_patch_size,
+                             rn_decode=rn_decode)
 
 
 class InferencePipeline:
@@ -296,12 +323,15 @@ class InferencePipeline:
                  min_margin: Optional[float] = None,
                  rn_upsample: str = "nearest",
                  rn_patch_size: int = 24,
-                 decode_capacity: int = 1):
+                 decode_capacity: int = 1,
+                 rn_decode: Optional[str] = None):
         self.config = config
         self.n_ids = config.n_ids
         self.detector = Detector(n_ids=config.n_ids, dtype=compute_dtype)
+        needs_offset = rn_decode in ("offset", "avg")
         self.refinenet = (RefineNet(dtype=compute_dtype, upsample=rn_upsample,
-                                    patch_size=rn_patch_size)
+                                    patch_size=rn_patch_size,
+                                    offset_head=needs_offset)
                           if rn_vars is not None else None)
         self.det_vars = jax.device_put(det_vars)
         self.rn_vars = jax.device_put(rn_vars) if rn_vars is not None else None
@@ -319,7 +349,7 @@ class InferencePipeline:
             lambda dv, rv, x: two_stage_forward(
                 self.detector, self.refinenet, dv, rv, x, self.n_ids,
                 soft_refine=soft_refine, min_margin=min_margin,
-                decode_capacity=decode_capacity,
+                decode_capacity=decode_capacity, rn_decode=rn_decode,
             )
         )
         if camera is not None:
@@ -330,6 +360,7 @@ class InferencePipeline:
                     self.detector, self.refinenet, dv, rv, x, self.n_ids,
                     self.object_points, K, dist, pnp_iters,
                     soft_refine=soft_refine, min_margin=min_margin,
+                    rn_decode=rn_decode,
                 )
             )
         else:
