@@ -60,6 +60,12 @@ def build_argparser():
     p.add_argument("--scale", type=float, default=None,
                    help="device source: pin the board scale (e.g. 1.0 for "
                         "the full-frame frontal probe)")
+    p.add_argument("--hires", action="store_true",
+                   help="hi-res patch tap protocol: synthesize 2x-resolution "
+                        "frames, detector on the pooled view, RefineNet on "
+                        "full-res patches (two_stage_forward_hires); errors "
+                        "reported in base-config px (device+subpixel only; "
+                        "use a --frame-scale 2 trained checkpoint)")
     return p
 
 
@@ -118,6 +124,22 @@ def main(argv=None):
                        else refine_keypoints(heat, kp))
         return kp, valid, refined
 
+    if args.hires:
+        if args.source != "device" or args.truth != "subpixel":
+            raise SystemExit("--hires requires --source device --truth subpixel")
+
+        from deepcharuco_tpu.pipeline import two_stage_forward_hires
+
+        hires_mode = ("avg" if args.rn_avg else "offset" if args.rn_offset
+                      else "soft" if args.soft_argmax else "hard")
+
+        @jax.jit
+        def forward(images_hi):  # noqa: F811 — the hi-res tap forward
+            return two_stage_forward_hires(det, rn, dv, rv, images_hi,
+                                           cfg.n_ids,
+                                           min_margin=args.min_margin,
+                                           rn_decode=hires_mode)
+
     bs = 16
     n_batches = max(1, args.samples // bs)
 
@@ -125,10 +147,13 @@ def main(argv=None):
         raise SystemExit("--truth subpixel requires --source device")
 
     if args.source == "device":
+        from deepcharuco_tpu.configs import scaled_config
         from deepcharuco_tpu.data.device_synth import DeviceSynthesizer
 
         sr = (args.scale, args.scale + 1e-4) if args.scale else None
-        synth = DeviceSynthesizer(cfg, negative_p=0.0 if args.frontal else 0.05,
+        synth_cfg = scaled_config(cfg, 2) if args.hires else cfg
+        synth = DeviceSynthesizer(synth_cfg,
+                                  negative_p=0.0 if args.frontal else 0.05,
                                   axis_snap_p=1.0 if args.frontal else 0.0,
                                   scale_range=sr)
         if args.frontal:
@@ -140,6 +165,10 @@ def main(argv=None):
             def batches():
                 for j in range(n_batches):
                     images, loc, ids, kpts, vis = full_fn(jax.random.PRNGKey(j))
+                    if args.hires:
+                        # hi-res coords → base-config px (pool convention:
+                        # x_hi = 2·x_lo + 0.5)
+                        kpts = (kpts - 0.5) * 0.5
                     yield images, (kpts, vis)
         else:
             gen = synth.batch_fn(bs)

@@ -74,6 +74,18 @@ def build_argparser():
                    help="with --device-synth: lax.scan K synthesis+train "
                         "steps per dispatch (RefineNet steps are tiny and "
                         "tunnel-dispatch-bound; K amortizes the latency)")
+    p.add_argument("--frame-scale", type=int, default=1,
+                   help="with --frame-patches: synthesize source frames at "
+                        "N x the config resolution and crop patches from "
+                        "them — trains the hi-res patch tap "
+                        "(pipeline.two_stage_forward_hires; the reference's "
+                        "s_factor=2 rendering, src/data_refinenet.py:97-100)")
+    p.add_argument("--jitter-px", type=float, default=None,
+                   help="patch-center jitter in source-frame px (default: 3 "
+                        "at frame-scale 1; 2 x frame-scale above — the "
+                        "64x64 heatmap covers only +-4 patch px around the "
+                        "center, so jitter beyond that leaves targets "
+                        "representable only by the offset branch)")
     return p
 
 
@@ -151,12 +163,24 @@ def main(argv=None):
         )
 
         cont = not args.rounded_targets
-        device_synth = (FramePatchSynthesizer(cfg, continuous_targets=cont,
-                                              patch_size=args.patch_size,
-                                              perspective_p=args.perspective_p)
-                        if args.frame_patches
-                        else DeviceRefineSynthesizer(cfg, continuous_targets=cont,
-                                                     patch_size=args.patch_size))
+        if args.frame_scale > 1 and not args.frame_patches:
+            raise SystemExit("--frame-scale needs --frame-patches (the "
+                             "direct patch sampler has no frame to scale)")
+        if args.frame_patches:
+            from deepcharuco_tpu.configs import scaled_config
+
+            synth_cfg = (scaled_config(cfg, args.frame_scale)
+                         if args.frame_scale > 1 else cfg)
+            jitter = (args.jitter_px if args.jitter_px is not None
+                      else 3.0 if args.frame_scale == 1
+                      else 2.0 * args.frame_scale)
+            device_synth = FramePatchSynthesizer(
+                synth_cfg, continuous_targets=cont,
+                patch_size=args.patch_size,
+                perspective_p=args.perspective_p, jitter_px=jitter)
+        else:
+            device_synth = DeviceRefineSynthesizer(cfg, continuous_targets=cont,
+                                                   patch_size=args.patch_size)
         batch_gen = device_synth.batch_fn(bs_patches)
         val_batch_fn = device_synth.batch_fn(32)
 

@@ -89,3 +89,14 @@ def default_config(**overrides) -> Config:
     )
     base.update(overrides)
     return Config(**base)
+
+
+def scaled_config(cfg: Config, factor: int = 2) -> Config:
+    """The same board/config with ``input_size`` scaled ``factor``× — the
+    hi-res frame view for the patch tap (``pipeline.two_stage_forward_hires``;
+    the reference's ``s_factor=2`` rendering, ``src/data_refinenet.py:97-100``).
+    Board geometry is physical and unchanged; synthesis with this config
+    renders the board texture at ``factor``× detail."""
+    return dataclasses.replace(
+        cfg, input_size=(cfg.input_size[0] * factor,
+                         cfg.input_size[1] * factor))

@@ -1,4 +1,4 @@
-from deepcharuco_tpu.ops.image import bgr_to_gray, normalize_gray, preprocess_bgr
+from deepcharuco_tpu.ops.image import bgr_to_gray, downsample2x, normalize_gray, preprocess_bgr
 from deepcharuco_tpu.ops.decode import (
     pred_argmax,
     label_to_keypoints,
@@ -15,6 +15,7 @@ from deepcharuco_tpu.ops.heatmap import gaussian_heatmap
 
 __all__ = [
     "bgr_to_gray",
+    "downsample2x",
     "normalize_gray",
     "preprocess_bgr",
     "pred_argmax",

@@ -36,3 +36,19 @@ def normalize_gray(gray: jnp.ndarray) -> jnp.ndarray:
 def preprocess_bgr(img: jnp.ndarray) -> jnp.ndarray:
     """BGR uint8 (..., H, W, 3) → normalized grayscale (..., H, W, 1) float32."""
     return normalize_gray(bgr_to_gray(img))
+
+
+def downsample2x(gray: jnp.ndarray) -> jnp.ndarray:
+    """2×2 average-pool (..., 2H, 2W, C) → (..., H, W, C).
+
+    The hi-res tap's detector view (see ``pipeline.two_stage_forward_hires``):
+    low-res pixel (i, j) is the mean of hi-res pixels (2i..2i+1, 2j..2j+1),
+    so a point at low-res center-coordinate x sits at hi-res coordinate
+    2·x + 0.5 — the mapping the hi-res pipeline inverts when returning
+    low-res corners. Requires even spatial dims (static-shape check).
+    """
+    *lead, h, w, c = gray.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"downsample2x needs even spatial dims, got {h}x{w}")
+    x = gray.reshape(*lead, h // 2, 2, w // 2, 2, c)
+    return x.mean(axis=(-2, -4))

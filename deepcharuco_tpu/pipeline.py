@@ -85,6 +85,34 @@ def _to_gray_input(frames: jnp.ndarray) -> jnp.ndarray:
     return normalize_gray(g)
 
 
+def _apply_refiner(refinenet, rn_vars, patches, keypoints, mode: str):
+    """RefineNet on gathered patches + the selected decode (see
+    ``two_stage_forward``'s ``rn_decode``). ``keypoints`` are the integer
+    patch centers in the same pixel units as ``patches``' source frame;
+    returns refined positions in those units."""
+    from deepcharuco_tpu.ops import refine_keypoints_soft
+
+    n, k, p, _ = patches.shape
+    out_rn = refinenet.apply(rn_vars, patches.reshape(n * k, p, p, 1))
+    if isinstance(out_rn, dict):
+        heat, offset = out_rn["heat"], out_rn["offset"].reshape(n, k, 2)
+    else:
+        heat, offset = out_rn, None
+    heat = heat.reshape(n, k, 64, 64)
+    if mode in ("offset", "avg") and offset is None:
+        raise ValueError(
+            f"rn_decode={mode!r} needs RefineNet(offset_head=True) and an "
+            "offset-trained checkpoint")
+    if mode == "offset":
+        return keypoints + offset
+    if mode == "avg":
+        return 0.5 * (refine_keypoints_soft(heat, keypoints)
+                      + keypoints + offset)
+    if mode == "soft":
+        return refine_keypoints_soft(heat, keypoints)
+    return refine_keypoints(heat, keypoints)
+
+
 def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
                       det_vars, rn_vars, frames, n_ids: int,
                       soft_refine: bool = False,
@@ -116,7 +144,7 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
     best, see BENCH_NOTES round 3). ``"offset"``/``"avg"`` require a
     ``RefineNet(offset_head=True)`` and matching checkpoint.
     """
-    from deepcharuco_tpu.ops import pred_to_keypoints_topk, refine_keypoints_soft
+    from deepcharuco_tpu.ops import pred_to_keypoints_topk
 
     g = _to_gray_input(frames)
     out = detector.apply(det_vars, g)
@@ -136,30 +164,48 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
         return kp_out, valid, kp_out
     patches = extract_patches(g, keypoints,
                               patch_size=getattr(refinenet, "patch_size", 24))
-    n, k, p, _ = patches.shape
-    out_rn = refinenet.apply(rn_vars, patches.reshape(n * k, p, p, 1))
-    if isinstance(out_rn, dict):
-        heat, offset = out_rn["heat"], out_rn["offset"].reshape(n, k, 2)
-    else:
-        heat, offset = out_rn, None
-    heat = heat.reshape(n, k, 64, 64)
     mode = rn_decode or ("soft" if soft_refine else "hard")
-    if mode in ("offset", "avg") and offset is None:
-        raise ValueError(
-            f"rn_decode={mode!r} needs RefineNet(offset_head=True) and an "
-            "offset-trained checkpoint")
-    if mode == "offset":
-        refined = keypoints + offset
-    elif mode == "avg":
-        refined = 0.5 * (refine_keypoints_soft(heat, keypoints)
-                         + keypoints + offset)
-    elif mode == "soft":
-        refined = refine_keypoints_soft(heat, keypoints)
-    else:
-        refined = refine_keypoints(heat, keypoints)
+    refined = _apply_refiner(refinenet, rn_vars, patches, keypoints, mode)
     if decode_capacity > 1:
         shape = (n, n_ids, decode_capacity, 2)
         return keypoints.reshape(shape), valid, refined.reshape(shape)
+    return keypoints, valid, refined
+
+
+def two_stage_forward_hires(detector: Detector, refinenet: RefineNet,
+                            det_vars, rn_vars, frames_hi, n_ids: int,
+                            min_margin: Optional[float] = None,
+                            rn_decode: str = "soft"):
+    """Hi-res patch tap: detector on a 2×-downsampled view, RefineNet on
+    full-resolution patches.
+
+    The TPU-native form of the reference's 2×-resolution RefineNet data
+    (``src/data_refinenet.py:97-100`` renders at ``s_factor=2`` so refine
+    patches carry detail the detector never sees). Input ``frames_hi`` at
+    (N, 2H, 2W[, C]) — e.g. the camera's native 640×480 when the detector
+    runs its usual 320×240 grid. Detector cost is unchanged (it sees the
+    pooled view); the refiner sees 2× detail at identical FLOPs, so the
+    whole tap costs only the pooling + the larger input transfer.
+
+    Coordinate contract: the 2×2 average pool puts low-res center x at
+    hi-res coordinate 2x + 0.5 (``ops.image.downsample2x``), so refined
+    hi-res positions map back as (x_hi − 0.5)/2. Returns (keypoints, valid,
+    refined) in LOW-res pixel units — drop-in comparable with
+    :func:`two_stage_forward`. Requires a RefineNet trained on hi-res
+    patches (``cli.train_refinenet --frame-scale 2``).
+    """
+    from deepcharuco_tpu.ops import downsample2x
+
+    g_hi = _to_gray_input(frames_hi)
+    g_lo = downsample2x(g_hi)
+    out = detector.apply(det_vars, g_lo)
+    keypoints, valid = pred_to_keypoints(out["loc"], out["ids"], n_ids,
+                                         min_margin=min_margin)
+    kp_hi = 2.0 * keypoints  # integer patch centers in the hi-res frame
+    patches = extract_patches(g_hi, kp_hi,
+                              patch_size=getattr(refinenet, "patch_size", 24))
+    refined_hi = _apply_refiner(refinenet, rn_vars, patches, kp_hi, rn_decode)
+    refined = (refined_hi - 0.5) * 0.5
     return keypoints, valid, refined
 
 

@@ -1,0 +1,106 @@
+"""Hi-res patch tap (round 3): detector on a 2×-downsampled view, RefineNet
+on full-resolution patches — the TPU-native form of the reference's 2×
+RefineNet rendering (``src/data_refinenet.py:97-100``)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from deepcharuco_tpu.configs import default_config, scaled_config
+from deepcharuco_tpu.models import Detector, RefineNet
+from deepcharuco_tpu.ops import downsample2x
+from deepcharuco_tpu.pipeline import two_stage_forward_hires
+
+N_IDS = 16
+
+
+def test_downsample2x_exact_mean_and_coordinate_convention():
+    x = np.arange(8 * 6, dtype=np.float32).reshape(1, 6, 8, 1)
+    y = np.asarray(downsample2x(jnp.asarray(x)))
+    assert y.shape == (1, 3, 4, 1)
+    # block mean
+    assert y[0, 0, 0, 0] == pytest.approx((0 + 1 + 8 + 9) / 4)
+    # coordinate contract: on a linear ramp f(x_hi) = x_hi, pooled pixel j
+    # holds the ramp's value at x_hi = 2j + 0.5 — the mapping the hi-res
+    # pipeline inverts
+    ramp = np.broadcast_to(np.arange(8, dtype=np.float32)[None, :],
+                           (6, 8)).reshape(1, 6, 8, 1)
+    r = np.asarray(downsample2x(jnp.asarray(ramp)))
+    np.testing.assert_allclose(r[0, 0, :, 0], 2 * np.arange(4) + 0.5)
+
+
+def test_downsample2x_rejects_odd_dims():
+    with pytest.raises(ValueError, match="even"):
+        downsample2x(jnp.zeros((1, 5, 8, 1)))
+
+
+def test_hires_forward_shapes_and_units():
+    det = Detector(n_ids=N_IDS, dtype=jnp.float32)
+    rn = RefineNet(dtype=jnp.float32, patch_size=32, offset_head=True)
+    dv = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 1)))
+    rv = rn.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 1)))
+    frames_hi = np.random.default_rng(0).integers(
+        0, 255, (2, 192, 192), np.uint8)
+    for mode in ("soft", "avg"):
+        kp, valid, refined = two_stage_forward_hires(
+            det, rn, dv, rv, frames_hi, N_IDS, rn_decode=mode)
+        # detector grid is the POOLED 96×96 view → low-res units
+        assert kp.shape == (2, N_IDS, 2)
+        assert np.asarray(kp).max() < 96
+        assert refined.shape == (2, N_IDS, 2)
+        assert np.isfinite(np.asarray(refined)).all()
+        # refined stays within ~the low-res frame bounds
+        assert np.asarray(refined).max() < 97
+
+
+def test_frame_patch_synthesizer_at_scale_2():
+    from deepcharuco_tpu.data.device_synth import FramePatchSynthesizer
+
+    cfg2 = scaled_config(default_config(), 2)
+    synth = FramePatchSynthesizer(cfg2, patch_size=32, jitter_px=4.0)
+    patches, heats = synth.batch_fn(16)(jax.random.PRNGKey(0))
+    assert patches.shape == (16, 32, 32, 1)
+    assert heats.shape == (16, 64, 64, 1)
+    p, h = np.asarray(patches), np.asarray(heats)
+    assert np.isfinite(p).all()
+    # each target is a normalized Gaussian with its peak on-grid
+    assert (h.reshape(16, -1).max(-1) > 0.5).all()
+
+
+def test_train_refinenet_cli_frame_scale(tmp_path, capsys):
+    """--frame-scale 2 trains the hi-res tap end-to-end for a couple of
+    steps (tiny config keeps CPU synthesis cheap)."""
+    import yaml
+
+    from deepcharuco_tpu.cli.train_refinenet import main
+
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(yaml.safe_dump(dict(
+        board_name="DICT_4X4_50", row_count=5, col_count=5,
+        square_len=0.01, marker_len=0.0075, input_size=[160, 120])))
+    main(["--config", str(cfg), "--steps", "2", "--eval-every", "2",
+          "--eval-batches", "1", "--batch-size", "8",
+          "--device-synth", "--frame-patches", "--patch-size", "32",
+          "--frame-scale", "2", "--offset-weight", "0.25",
+          "--logdir", str(tmp_path / "logs"),
+          "--ckpt-dir", str(tmp_path / "ckpts")])
+    out = capsys.readouterr().out
+    assert "best checkpoint" in out
+
+
+def test_eval_cli_hires(capsys):
+    from deepcharuco_tpu.cli.eval import main
+
+    out = main(["--samples", "16", "--source", "device", "--truth", "subpixel",
+                "--hires", "--rn-patch-size", "32", "--rn-avg"])
+    captured = capsys.readouterr().out
+    assert "refined corner error" in captured
+    assert 0.0 <= out["recall"] <= 1.0
+
+
+def test_hires_requires_device_subpixel():
+    from deepcharuco_tpu.cli.eval import main
+
+    with pytest.raises(SystemExit):
+        main(["--samples", "16", "--source", "device", "--hires"])
