@@ -67,6 +67,20 @@ class Camera:
         dist[: raw.size] = raw
         return cls(K=np.asarray(data["camera_matrix"], np.float32), dist=dist)
 
+    def scaled(self, factor: float = 0.5) -> "Camera":
+        """Intrinsics for a resampled view whose pixel grid maps as
+        x' = (x + 0.5)·factor − 0.5 (area resampling with aligned pixel
+        centers — ``ops.downsample2x``'s convention at factor 0.5, used by
+        the hi-res patch tap to express a camera calibrated at the native
+        frame resolution in pooled-view units). Distortion coefficients act
+        on normalized coordinates and carry over unchanged."""
+        K = np.array(self.K, np.float32, copy=True)
+        K[0, 0] *= factor
+        K[1, 1] *= factor
+        K[0, 2] = (K[0, 2] + 0.5) * factor - 0.5
+        K[1, 2] = (K[1, 2] + 0.5) * factor - 0.5
+        return Camera(K=K, dist=self.dist)
+
 
 def _to_gray_input(frames: jnp.ndarray) -> jnp.ndarray:
     """Accept BGR uint8 (N,H,W,3), gray (N,H,W)/(N,H,W,1) in uint8 scale, or
@@ -209,6 +223,25 @@ def two_stage_forward_hires(detector: Detector, refinenet: RefineNet,
     return keypoints, valid, refined
 
 
+def full_forward_hires(detector: Detector, refinenet: RefineNet,
+                       det_vars, rn_vars, frames_hi, n_ids: int,
+                       object_points, K, dist, pnp_iters: int = 20,
+                       min_margin: Optional[float] = None,
+                       rn_decode: str = "soft"):
+    """:func:`two_stage_forward_hires` + batched planar PnP, one program.
+
+    ``K``/``dist`` must be expressed in the LOW-res (pooled-view) pixel
+    units the tap reports corners in — convert a camera calibrated at the
+    hi-res input resolution with ``Camera.scaled(0.5)``.
+    """
+    keypoints, valid, refined = two_stage_forward_hires(
+        detector, refinenet, det_vars, rn_vars, frames_hi, n_ids,
+        min_margin=min_margin, rn_decode=rn_decode)
+    solve = lambda ip, v: solve_pnp(object_points, ip, v, K, dist, iters=pnp_iters)
+    ok, rvec, tvec, rms = jax.vmap(solve)(refined, valid)
+    return keypoints, valid, refined, ok, rvec, tvec, rms
+
+
 def full_forward(detector: Detector, refinenet: Optional[RefineNet],
                  det_vars, rn_vars, frames, n_ids: int,
                  object_points, K, dist, pnp_iters: int = 20,
@@ -342,7 +375,8 @@ def load_pipeline(config: Config, deepc_ckpt: Optional[str] = None,
                   compute_dtype=jnp.bfloat16,
                   rn_upsample: str = "nearest",
                   rn_patch_size: int = 24,
-                  rn_decode: Optional[str] = None) -> "InferencePipeline":
+                  rn_decode: Optional[str] = None,
+                  hires: bool = False) -> "InferencePipeline":
     """Parity entry point for reference ``load_models`` + pipeline assembly."""
     dv = load_model_variables(deepc_ckpt, "detector", config.n_ids)
     rv = (load_model_variables(refinenet_ckpt, "refinenet")
@@ -351,7 +385,7 @@ def load_pipeline(config: Config, deepc_ckpt: Optional[str] = None,
                              compute_dtype=compute_dtype,
                              rn_upsample=rn_upsample,
                              rn_patch_size=rn_patch_size,
-                             rn_decode=rn_decode)
+                             rn_decode=rn_decode, hires=hires)
 
 
 class InferencePipeline:
@@ -370,7 +404,8 @@ class InferencePipeline:
                  rn_upsample: str = "nearest",
                  rn_patch_size: int = 24,
                  decode_capacity: int = 1,
-                 rn_decode: Optional[str] = None):
+                 rn_decode: Optional[str] = None,
+                 hires: bool = False):
         self.config = config
         self.n_ids = config.n_ids
         self.detector = Detector(n_ids=config.n_ids, dtype=compute_dtype)
@@ -386,6 +421,40 @@ class InferencePipeline:
             inner_corner_object_points(config.row_count, config.col_count,
                                        config.square_len)
         )
+
+        # Hi-res patch tap mode: detect()/detect_with_pose() take frames at
+        # 2× the config resolution (e.g. the camera's native 640×480 for a
+        # 320×240 detector grid); outputs stay in LOW-res units. The camera,
+        # if given, is the one calibrated at the INPUT (hi-res) resolution —
+        # it is rescaled to pooled-view units here (Camera.scaled).
+        self.hires = hires
+        if hires:
+            if self.refinenet is None:
+                raise ValueError("hires tap needs RefineNet weights "
+                                 "(the full-res patches ARE the point)")
+            if decode_capacity > 1:
+                raise ValueError("hires does not support decode_capacity > 1")
+            hires_mode = rn_decode or "soft"
+            self._two_stage = jax.jit(
+                lambda dv, rv, x: two_stage_forward_hires(
+                    self.detector, self.refinenet, dv, rv, x, self.n_ids,
+                    min_margin=min_margin, rn_decode=hires_mode,
+                )
+            )
+            if camera is not None:
+                cam_lo = camera.scaled(0.5)
+                K = jnp.asarray(cam_lo.K, jnp.float32)
+                dist = jnp.asarray(cam_lo.dist, jnp.float32)
+                self._full = jax.jit(
+                    lambda dv, rv, x: full_forward_hires(
+                        self.detector, self.refinenet, dv, rv, x, self.n_ids,
+                        self.object_points, K, dist, pnp_iters,
+                        min_margin=min_margin, rn_decode=hires_mode,
+                    )
+                )
+            else:
+                self._full = None
+            return
 
         # decode_capacity > 1: duplicate-preserving detect() with K slots per
         # id (reference keeps every cell; see two_stage_forward). The pose

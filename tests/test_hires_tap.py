@@ -104,3 +104,66 @@ def test_hires_requires_device_subpixel():
 
     with pytest.raises(SystemExit):
         main(["--samples", "16", "--source", "device", "--hires"])
+
+
+def test_camera_scaled_matches_pool_convention():
+    """Projecting with Camera.scaled(0.5) must land exactly where the
+    downsample2x coordinate contract puts the hi-res projection:
+    x_lo = (x_hi − 0.5)/2."""
+    from deepcharuco_tpu.pipeline import Camera
+
+    cam = Camera(K=np.array([[600.0, 0, 321.3], [0, 590.0, 237.9],
+                             [0, 0, 1]], np.float32),
+                 dist=np.zeros(12, np.float32))
+    lo = cam.scaled(0.5)
+    pts = np.array([[0.1, -0.05, 1.0], [-0.2, 0.15, 2.0]], np.float32)
+    for X, Y, Z in pts:
+        x_hi = cam.K[0, 0] * X / Z + cam.K[0, 2]
+        y_hi = cam.K[1, 1] * Y / Z + cam.K[1, 2]
+        x_lo = lo.K[0, 0] * X / Z + lo.K[0, 2]
+        y_lo = lo.K[1, 1] * Y / Z + lo.K[1, 2]
+        assert x_lo == pytest.approx((x_hi - 0.5) / 2, abs=1e-4)
+        assert y_lo == pytest.approx((y_hi - 0.5) / 2, abs=1e-4)
+
+
+def test_pipeline_hires_detect_and_pose():
+    """hires=True product path: detect() and detect_with_pose() accept
+    2×-resolution frames and report low-res-unit outputs."""
+    from deepcharuco_tpu.configs import default_config
+    from deepcharuco_tpu.pipeline import Camera, InferencePipeline
+
+    cfg = default_config()
+    det = Detector(n_ids=cfg.n_ids, dtype=jnp.float32)
+    rn = RefineNet(dtype=jnp.float32, patch_size=32, offset_head=True)
+    dv = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 1)))
+    rv = rn.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 1)))
+    w, h = cfg.input_size
+    cam = Camera(K=np.array([[600.0, 0, w], [0, 600.0, h], [0, 0, 1]],
+                            np.float32),
+                 dist=np.zeros(12, np.float32))
+    pipe = InferencePipeline(cfg, dv, rv, camera=cam, rn_patch_size=32,
+                             rn_decode="avg", compute_dtype=jnp.float32,
+                             hires=True)
+    frames_hi = np.random.default_rng(0).integers(
+        0, 255, (2, 2 * h, 2 * w), np.uint8)
+    kp, valid, refined = pipe.detect(frames_hi)
+    assert kp.shape == (2, cfg.n_ids, 2) and refined.shape == (2, cfg.n_ids, 2)
+    assert kp.max() < w  # low-res units
+    out = pipe.detect_with_pose(frames_hi)
+    assert len(out) == 7
+    assert all(np.isfinite(o).all() for o in out[:3])
+
+
+def test_pipeline_hires_guards():
+    from deepcharuco_tpu.configs import default_config
+    from deepcharuco_tpu.pipeline import InferencePipeline
+
+    cfg = default_config()
+    det = Detector(n_ids=cfg.n_ids, dtype=jnp.float32)
+    rn = RefineNet(dtype=jnp.float32)
+    dv = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 1)))
+    rv = rn.init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 1)))
+    with pytest.raises(ValueError, match="RefineNet"):
+        InferencePipeline(cfg, dv, None, hires=True)
+    with pytest.raises(ValueError, match="decode_capacity"):
+        InferencePipeline(cfg, dv, rv, hires=True, decode_capacity=4)
