@@ -34,6 +34,13 @@ def build_argparser():
     p.add_argument("--size", default=None,
                    help="override input resolution WxH (e.g. 640x480)")
     p.add_argument("--frames-per-stream", type=int, default=64)
+    p.add_argument("--hires", action="store_true",
+                   help="hi-res patch tap: frames at 2x the config "
+                        "resolution, detector on the pooled view, RefineNet "
+                        "on full-res patches (two_stage_forward_hires) — "
+                        "the product-realistic native-camera-input path")
+    p.add_argument("--rn-patch-size", type=int, choices=[24, 32], default=24,
+                   help="RefineNet patch size (match the checkpoint)")
     p.add_argument("--fused-head", action="store_true",
                    help="A/B the detector→keypoints stage: XLA heads + jnp "
                         "decode vs the fused Pallas head+decode kernel "
@@ -131,11 +138,22 @@ def main(argv=None):
         w, h = (int(v) for v in args.size.lower().split("x"))
         cfg = _dc.replace(cfg, input_size=(w, h))
     det = Detector(n_ids=cfg.n_ids)
-    rn = RefineNet()
+    rn = RefineNet(patch_size=args.rn_patch_size)
     dv = jax.device_put(load_model_variables(args.deepc, "detector", cfg.n_ids))
-    rv = jax.device_put(load_model_variables(args.refinenet, "refinenet"))
+    if args.refinenet is None and args.rn_patch_size != 24:
+        ps = args.rn_patch_size
+        rv = rn.init(jax.random.PRNGKey(0), jnp.zeros((1, ps, ps, 1)))
+    else:
+        rv = load_model_variables(args.refinenet, "refinenet")
+    rv = jax.device_put(rv)
 
-    frame = _frame(cfg, args)
+    if args.hires:
+        from deepcharuco_tpu.configs import scaled_config
+
+        frame_cfg = scaled_config(cfg, 2)  # frames come in at 2x
+    else:
+        frame_cfg = cfg
+    frame = _frame(frame_cfg, args)
     if args.input == "gray":
         import cv2
 
@@ -149,7 +167,9 @@ def main(argv=None):
         from deepcharuco_tpu.pipeline import InferencePipeline
         from deepcharuco_tpu.serving import StreamServer, VideoStream
 
-        pipe = InferencePipeline(cfg, dv, rv)
+        pipe = InferencePipeline(cfg, dv, rv,
+                                 rn_patch_size=args.rn_patch_size,
+                                 hires=args.hires)
         rng = np.random.default_rng(0)
 
         def stream_frames(sid):
@@ -178,8 +198,9 @@ def main(argv=None):
             n_frames += len(results)
         dt = time.perf_counter() - t0
         lat_ms = 1000 * np.median(lat)
-        h, w = cfg.input_hw
-        print(f"multi-stream: {args.multi_stream} streams @ {w}x{h}: "
+        h, w = frame.shape[:2]
+        print(f"multi-stream: {args.multi_stream} streams @ {w}x{h}"
+              f"{' (hires tap)' if args.hires else ''}: "
               f"{n_frames / dt:.1f} fps aggregate "
               f"({n_frames / dt / args.multi_stream:.1f} fps/stream), "
               f"median step latency {lat_ms:.1f} ms")
@@ -187,14 +208,29 @@ def main(argv=None):
     frames = np.broadcast_to(frame, (args.batch, *frame.shape)).copy()
     x = jnp.asarray(frames)
 
+    if args.hires and (args.breakdown or args.fused_head):
+        raise SystemExit("--hires composes with --with-pose only "
+                         "(breakdown/fused-head time the base-res stages)")
     if args.with_pose:
         obj = jnp.asarray(inner_corner_object_points(cfg.row_count, cfg.col_count,
                                                      cfg.square_len))
         h, w = cfg.input_hw
         K = jnp.asarray(np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], np.float32))
         dist = jnp.zeros(5, jnp.float32)
-        fn = jax.jit(lambda dv, rv, x: full_forward(det, rn, dv, rv, x, cfg.n_ids,
-                                                    obj, K, dist))
+        if args.hires:
+            from deepcharuco_tpu.pipeline import full_forward_hires
+
+            dist12 = jnp.zeros(12, jnp.float32)
+            fn = jax.jit(lambda dv, rv, x: full_forward_hires(
+                det, rn, dv, rv, x, cfg.n_ids, obj, K, dist12))
+        else:
+            fn = jax.jit(lambda dv, rv, x: full_forward(det, rn, dv, rv, x, cfg.n_ids,
+                                                        obj, K, dist))
+    elif args.hires:
+        from deepcharuco_tpu.pipeline import two_stage_forward_hires
+
+        fn = jax.jit(lambda dv, rv, x: two_stage_forward_hires(
+            det, rn, dv, rv, x, cfg.n_ids))
     else:
         fn = jax.jit(lambda dv, rv, x: two_stage_forward(det, rn, dv, rv, x, cfg.n_ids))
 
@@ -202,6 +238,8 @@ def main(argv=None):
     dt = _time_fn(fn, [(dv, rv, v) for v in xs], args.iters, args.warmup)
     fps = args.batch * args.iters / dt
     label = "full+pose" if args.with_pose else "two-stage"
+    if args.hires:
+        label += " (hires tap)"
     print(f"{label}: {fps:.1f} fps  ({dt / args.iters * 1000:.2f} ms / batch of {args.batch})")
 
     if args.breakdown:

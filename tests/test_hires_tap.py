@@ -106,6 +106,24 @@ def test_hires_requires_device_subpixel():
         main(["--samples", "16", "--source", "device", "--hires"])
 
 
+def test_benchmark_cli_hires(tmp_path, capsys):
+    """--hires drives two_stage_forward_hires through the benchmark CLI
+    (tiny config; correctness smoke, not a timing)."""
+    import yaml
+
+    from deepcharuco_tpu.cli.benchmark import main
+
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(yaml.safe_dump(dict(
+        board_name="DICT_4X4_50", row_count=5, col_count=5,
+        square_len=0.01, marker_len=0.0075, input_size=[160, 120])))
+    main(["--config", str(cfg), "--batch", "2", "--iters", "2",
+          "--warmup", "1", "--hires", "--rn-patch-size", "32"])
+    assert "hires tap" in capsys.readouterr().out
+    with pytest.raises(SystemExit):
+        main(["--config", str(cfg), "--hires", "--breakdown"])
+
+
 def test_camera_scaled_matches_pool_convention():
     """Projecting with Camera.scaled(0.5) must land exactly where the
     downsample2x coordinate contract puts the hi-res projection:
