@@ -23,6 +23,16 @@ def build_argparser():
     p.add_argument("--out-dir", default=None, help="write annotated images here")
     p.add_argument("--cv2-baseline", action="store_true",
                    help="append classical cv2.aruco detection side-by-side")
+    p.add_argument("--hires", action="store_true",
+                   help="hi-res patch tap: images are at 2x the config "
+                        "resolution; the detector runs on a 2x2-pooled view "
+                        "and RefineNet on full-res patches. Printed/drawn "
+                        "coordinates are in the INPUT image's pixels")
+    p.add_argument("--rn-patch-size", type=int, choices=[24, 32], default=24,
+                   help="RefineNet patch size (match the checkpoint)")
+    p.add_argument("--rn-decode", choices=["hard", "soft", "offset", "avg"],
+                   default=None, help="RefineNet decode (avg needs an "
+                                      "offset-head checkpoint)")
     return p
 
 
@@ -37,7 +47,9 @@ def main(argv=None):
     from deepcharuco_tpu.pipeline import load_pipeline
 
     cfg = load_configuration(args.config) if args.config else default_config()
-    pipe = load_pipeline(cfg, args.deepc, args.refinenet)
+    pipe = load_pipeline(cfg, args.deepc, args.refinenet,
+                         rn_patch_size=args.rn_patch_size,
+                         rn_decode=args.rn_decode, hires=args.hires)
     if args.deepc is None:
         print("WARNING: random detector weights (no --deepc given)")
 
@@ -56,6 +68,7 @@ def main(argv=None):
             print(f"skipping unreadable {path}")
             continue
         kp, valid, refined = pipe.detect(img[None])
+        kp, refined = pipe.input_coords(kp), pipe.input_coords(refined)
         arr = pipe.keypoint_array(refined[0], valid[0])
         print(f"{path}: {int(valid[0].sum())} corners")
         print(arr)

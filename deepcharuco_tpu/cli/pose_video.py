@@ -31,6 +31,16 @@ def build_argparser():
     p.add_argument("--ransac", action="store_true",
                    help="robust pose: in-jit RANSAC over detections instead "
                         "of plain least squares")
+    p.add_argument("--hires", action="store_true",
+                   help="hi-res patch tap: frames are at 2x the config "
+                        "resolution; detector on the pooled view, RefineNet "
+                        "on full-res patches. --camera is the one calibrated "
+                        "at the frame (hi-res) resolution")
+    p.add_argument("--rn-patch-size", type=int, choices=[24, 32], default=24,
+                   help="RefineNet patch size (match the checkpoint)")
+    p.add_argument("--rn-decode", choices=["hard", "soft", "offset", "avg"],
+                   default=None, help="RefineNet decode (avg needs an "
+                                      "offset-head checkpoint)")
     return p
 
 
@@ -50,15 +60,20 @@ def main(argv=None):
     if args.camera:
         camera = Camera.from_npz(args.camera)
     else:
-        # fall back to a nominal pinhole so the pipeline still runs
+        # fall back to a nominal pinhole at the FRAME resolution (2x the
+        # config when --hires) so the pipeline still runs
         h, w = cfg.input_hw
+        if args.hires:
+            h, w = 2 * h, 2 * w
         camera = Camera(
             K=np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], np.float32),
             dist=np.zeros(5, np.float32),
         )
         print("WARNING: no --camera given; using nominal intrinsics")
 
-    pipe = load_pipeline(cfg, args.deepc, args.refinenet, camera=camera)
+    pipe = load_pipeline(cfg, args.deepc, args.refinenet, camera=camera,
+                         rn_patch_size=args.rn_patch_size,
+                         rn_decode=args.rn_decode, hires=args.hires)
 
     if args.cv2_baseline:
         dictionary = B.get_aruco_dict(cfg.board_name)
@@ -85,13 +100,18 @@ def main(argv=None):
         if args.ransac:
             kp, valid, refined = pipe.detect(batch)
             ransac_key, sub = jax.random.split(ransac_key)
+            # detections are in the pipeline's working units (pooled view
+            # when --hires), so solve with the matching intrinsics
+            cam_solve = camera.scaled(0.5) if args.hires else camera
             ok, rvec, tvec, rms, _ = solve_pnp_ransac_batch(
                 pipe.object_points, jnp.asarray(refined), jnp.asarray(valid),
-                jnp.asarray(camera.K, jnp.float32),
-                jnp.asarray(camera.dist, jnp.float32), sub)
+                jnp.asarray(cam_solve.K, jnp.float32),
+                jnp.asarray(cam_solve.dist, jnp.float32), sub)
             ok, rvec, tvec = np.asarray(ok), np.asarray(rvec), np.asarray(tvec)
         else:
             kp, valid, refined, ok, rvec, tvec, rms = pipe.detect_with_pose(batch)
+        # draw in the frame's own pixels (identity unless --hires)
+        kp, refined = pipe.input_coords(kp), pipe.input_coords(refined)
 
         for j, img in enumerate(imgs):
             vis = B.draw_keypoints_with_validity(img, kp[j], valid[j],

@@ -497,6 +497,16 @@ class InferencePipeline:
         out = self._full(self.det_vars, self.rn_vars, jnp.asarray(frames))
         return tuple(np.asarray(o) for o in out)
 
+    def input_coords(self, xy: np.ndarray) -> np.ndarray:
+        """Map pipeline-output coordinates to INPUT-frame pixel units.
+
+        The hires tap reports corners in pooled-view (low-res) units; for
+        drawing on or printing against the caller's full-resolution frame,
+        apply the pool-center contract ``x_hi = 2·x_lo + 0.5``. Identity
+        for the base-resolution pipeline."""
+        xy = np.asarray(xy)
+        return 2.0 * xy + 0.5 if self.hires else xy
+
     def keypoint_array(self, refined: np.ndarray, valid: np.ndarray):
         """One frame's keypoints + mask → the reference's (M, 3) float
         ``[x, y, id]`` rows sorted by id (``inference.py:68-69``).

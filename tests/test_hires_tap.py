@@ -2,6 +2,8 @@
 on full-resolution patches — the TPU-native form of the reference's 2×
 RefineNet rendering (``src/data_refinenet.py:97-100``)."""
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -185,3 +187,58 @@ def test_pipeline_hires_guards():
         InferencePipeline(cfg, dv, None, hires=True)
     with pytest.raises(ValueError, match="decode_capacity"):
         InferencePipeline(cfg, dv, rv, hires=True, decode_capacity=4)
+
+
+def test_infer_cli_hires(tmp_path, capsys):
+    """infer --hires prints corners in INPUT-frame pixels (not pooled units)."""
+    import cv2
+
+    from deepcharuco_tpu import board as B
+    from deepcharuco_tpu.cli.infer import main
+    from deepcharuco_tpu.configs import default_config
+    from deepcharuco_tpu.models import RefineNet
+    from deepcharuco_tpu.pipeline import variables_to_npz
+
+    rn = RefineNet(patch_size=32)
+    rnp = str(tmp_path / "rn32.npz")
+    variables_to_npz(rnp, rn.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 32, 32, 1))))
+    cfg = default_config()
+    bimg, _ = B.board_image(B.get_board(cfg), (400, 400),
+                            cfg.row_count, cfg.col_count)
+    frame = np.full((480, 640, 3), 90, np.uint8)
+    frame[40:440, 120:520] = bimg
+    img = str(tmp_path / "hi.png")
+    cv2.imwrite(img, frame)
+    main([img, "--refinenet", rnp, "--rn-patch-size", "32", "--hires",
+          "--out-dir", str(tmp_path / "out")])
+    assert (tmp_path / "out" / "hi.png").exists()
+    capsys.readouterr()
+
+
+def test_pose_video_cli_hires(tmp_path):
+    """pose_video --hires end-to-end on 2x-resolution frames (+ --ransac)."""
+    import cv2
+
+    from deepcharuco_tpu.cli.pose_video import main
+    from deepcharuco_tpu.models import RefineNet
+    from deepcharuco_tpu.pipeline import variables_to_npz
+
+    rn = RefineNet(patch_size=32)
+    rnp = str(tmp_path / "rn32.npz")
+    variables_to_npz(rnp, rn.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 32, 32, 1))))
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        cv2.imwrite(str(frames / f"{i:03d}.png"),
+                    rng.integers(0, 255, (480, 640, 3)).astype(np.uint8))
+    out = str(tmp_path / "res.mp4")
+    main([str(frames), "--refinenet", rnp, "--rn-patch-size", "32",
+          "--hires", "--batch", "2", "--out", out])
+    assert os.path.getsize(out) > 0
+    out2 = str(tmp_path / "res2.mp4")
+    main([str(frames), "--refinenet", rnp, "--rn-patch-size", "32",
+          "--hires", "--ransac", "--batch", "2", "--out", out2])
+    assert os.path.getsize(out2) > 0
