@@ -66,6 +66,11 @@ def build_argparser():
                         "full-res patches (two_stage_forward_hires); errors "
                         "reported in base-config px (device+subpixel only; "
                         "use a --frame-scale 2 trained checkpoint)")
+    p.add_argument("--geom-decode", action="store_true",
+                   help="geometry-consistent decode: per-id candidate "
+                        "reselection by planar-homography consistency, incl. "
+                        "loc-gate-override candidates (ops/geom.py) — "
+                        "training-free recall/outlier gains, see BENCH_NOTES")
     return p
 
 
@@ -103,11 +108,26 @@ def main(argv=None):
     if args.deepc is None:
         print("WARNING: random detector weights")
 
+    if args.geom_decode:
+        from deepcharuco_tpu.board import inner_corner_object_points
+        from deepcharuco_tpu.ops import pred_to_keypoints_geom
+
+        board_xy = jnp.asarray(inner_corner_object_points(
+            cfg.row_count, cfg.col_count, cfg.square_len)[:, :2])
+
+        def decode(loc_hat, ids_hat):
+            return pred_to_keypoints_geom(loc_hat, ids_hat, cfg.n_ids,
+                                          board_xy,
+                                          min_margin=args.min_margin)
+    else:
+        def decode(loc_hat, ids_hat):
+            return pred_to_keypoints(loc_hat, ids_hat, cfg.n_ids,
+                                     min_margin=args.min_margin)
+
     @jax.jit
     def forward(images):
         out = det.apply(dv, images)
-        kp, valid = pred_to_keypoints(out["loc"], out["ids"], cfg.n_ids,
-                                      min_margin=args.min_margin)
+        kp, valid = decode(out["loc"], out["ids"])
         patches = extract_patches(images, kp, patch_size=args.rn_patch_size)
         n, k, p, _ = patches.shape
         out = rn.apply(rv, patches.reshape(n * k, p, p, 1))
@@ -133,12 +153,15 @@ def main(argv=None):
         hires_mode = ("avg" if args.rn_avg else "offset" if args.rn_offset
                       else "soft" if args.soft_argmax else "hard")
 
+        gxy = board_xy if args.geom_decode else None
+
         @jax.jit
         def forward(images_hi):  # noqa: F811 — the hi-res tap forward
             return two_stage_forward_hires(det, rn, dv, rv, images_hi,
                                            cfg.n_ids,
                                            min_margin=args.min_margin,
-                                           rn_decode=hires_mode)
+                                           rn_decode=hires_mode,
+                                           geom_board_xy=gxy)
 
     bs = 16
     n_batches = max(1, args.samples // bs)

@@ -33,6 +33,9 @@ def build_argparser():
     p.add_argument("--rn-decode", choices=["hard", "soft", "offset", "avg"],
                    default=None, help="RefineNet decode (avg needs an "
                                       "offset-head checkpoint)")
+    p.add_argument("--geom-decode", action="store_true",
+                   help="geometry-consistent decode (planar-homography "
+                        "candidate reselection; see ops/geom.py)")
     return p
 
 
@@ -49,7 +52,8 @@ def main(argv=None):
     cfg = load_configuration(args.config) if args.config else default_config()
     pipe = load_pipeline(cfg, args.deepc, args.refinenet,
                          rn_patch_size=args.rn_patch_size,
-                         rn_decode=args.rn_decode, hires=args.hires)
+                         rn_decode=args.rn_decode, hires=args.hires,
+                         geom_decode=args.geom_decode)
     if args.deepc is None:
         print("WARNING: random detector weights (no --deepc given)")
 

@@ -41,6 +41,9 @@ def build_argparser():
     p.add_argument("--rn-decode", choices=["hard", "soft", "offset", "avg"],
                    default=None, help="RefineNet decode (avg needs an "
                                       "offset-head checkpoint)")
+    p.add_argument("--geom-decode", action="store_true",
+                   help="geometry-consistent decode (planar-homography "
+                        "candidate reselection; see ops/geom.py)")
     return p
 
 
@@ -73,7 +76,8 @@ def main(argv=None):
 
     pipe = load_pipeline(cfg, args.deepc, args.refinenet, camera=camera,
                          rn_patch_size=args.rn_patch_size,
-                         rn_decode=args.rn_decode, hires=args.hires)
+                         rn_decode=args.rn_decode, hires=args.hires,
+                         geom_decode=args.geom_decode)
 
     if args.cv2_baseline:
         dictionary = B.get_aruco_dict(cfg.board_name)

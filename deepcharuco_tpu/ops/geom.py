@@ -1,0 +1,145 @@
+"""Geometry-consistent corner decode (training-free, opt-in).
+
+The single-slot decode keeps, per corner id, the highest-confidence cell
+claiming that id (``decode.pred_to_keypoints``). On self-similar views —
+frontal axis-aligned boards especially — a *wrong* cell can outscore the
+true one and steal the slot: on the round-3 frontal probe 42% of missed
+corners were exactly this "displaced" pathology (true cell predicts the
+right id, loses the slot), and another 16% were neighbor-id confusions.
+Both are recoverable at decode time: the board is planar, so all true
+corners are related to the board plane by ONE homography, while decoys are
+a full board cell (≥8 px) away from their id's true position.
+
+``reselect_by_homography`` runs the duplicate-preserving capacity-K decode
+(``decode.pred_to_keypoints_topk``), robustly fits a plane→image homography
+to the top-1 selections (masked DLT + fixed trim-refit iterations — IRLS
+with 0/1 weights), then per id selects the highest-score candidate whose
+reprojection sits within ``tol_px`` of the homography prediction. Ids with
+no consistent candidate decode as invalid — which also rejects confident
+decoys for corners that are actually outside the frame.
+
+Everything is fixed-shape (n_ids × capacity candidates, unrolled
+iterations) — XLA-friendly, no data-dependent control flow. The mode is
+OFF by default: the plain decode is the reference-parity path
+(``/root/reference/src/models/model_utils.py:81-123`` has no geometric
+filtering).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from deepcharuco_tpu.pnp.solve import _dlt_homography
+
+from .decode import pred_to_keypoints_topk
+
+
+def _apply_homography(H: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """(3,3) plane→image homography applied to (M, 2) plane points."""
+    p = xy @ H[:, :2].T + H[:, 2]
+    return p[:, :2] / jnp.where(jnp.abs(p[:, 2:]) > 1e-9, p[:, 2:], 1e-9)
+
+
+def reselect_by_homography(kp_topk: jnp.ndarray, valid_topk: jnp.ndarray,
+                           board_xy: jnp.ndarray, tol_px: float = 4.0,
+                           iters: int = 3, min_points: int = 6):
+    """One frame: choose, per id, the candidate consistent with the board.
+
+    Parameters
+    ----------
+    kp_topk : (n_ids, C, 2) candidate pixel positions, slot 0 = highest
+        ids-head score (``label_to_keypoints_topk`` order).
+    valid_topk : (n_ids, C) candidate validity.
+    board_xy : (n_ids, 2) the ids' inner-corner coordinates in any planar
+        board parametrization (e.g. ``inner_corner_object_points[:, :2]``).
+    tol_px : final consistency tolerance. Decoys claiming an id sit a full
+        board cell (≥8 px at the 8×8 decode stride) from the id's true
+        position, so anything ≲6 px separates them from raw-decode noise.
+    iters : trim-refit rounds; tolerances anneal toward ``tol_px``.
+    min_points : below this many top-1 detections the homography is
+        unreliable — return the plain top-1 decode unchanged (also keeps
+        negative/no-board frames at exact parity).
+
+    Returns
+    -------
+    keypoints (n_ids, 2) float32, valid (n_ids,) bool.
+    """
+    sel0 = kp_topk[:, 0]
+    val0 = valid_topk[:, 0]
+    enough = jnp.sum(val0) >= min_points
+
+    sel, w = sel0, val0.astype(jnp.float32)
+    any_elig = val0
+    slot = jnp.zeros(kp_topk.shape[0], dtype=jnp.int32)
+    # annealed tolerances: generous while the fit still contains decoys,
+    # `tol_px` on the last round
+    tols = [tol_px * (2.0 ** (iters - 1 - k)) for k in range(iters)]
+    for tol in tols:
+        H = _dlt_homography(board_xy, sel, w)
+        proj = _apply_homography(H, board_xy)              # (n_ids, 2)
+        d = jnp.linalg.norm(kp_topk - proj[:, None, :], axis=-1)
+        eligible = valid_topk & (d <= tol)                 # (n_ids, C)
+        any_elig = jnp.any(eligible, axis=-1)
+        # first eligible slot = highest-score eligible (slots score-ordered)
+        slot = jnp.argmax(eligible, axis=-1).astype(jnp.int32)
+        picked = jnp.take_along_axis(kp_topk, slot[:, None, None],
+                                     axis=1)[:, 0]
+        sel = jnp.where(any_elig[:, None], picked, sel0)
+        w = any_elig.astype(jnp.float32)
+
+    keypoints = jnp.where(enough, jnp.where(any_elig[:, None], sel, sel0),
+                          sel0)
+    valid = jnp.where(enough, any_elig, val0)
+    return keypoints, valid
+
+
+def pred_to_keypoints_geom(loc_hat: jnp.ndarray, ids_hat: jnp.ndarray,
+                           dust_bin_ids: int, board_xy: jnp.ndarray,
+                           capacity: int = 3, tol_px: float = 4.0,
+                           iters: int = 3, min_points: int = 6,
+                           min_margin: float | None = None,
+                           loc_override: bool = True,
+                           override_capacity: int = 2):
+    """Batched heads → geometry-reselected single-slot keypoints.
+
+    Drop-in shape-compatible with ``pred_to_keypoints`` ((N, n_ids, 2),
+    (N, n_ids)); see :func:`reselect_by_homography`.
+
+    ``loc_override``: also admit *loc-gated* cells as low-priority
+    candidates. The parity decode drops any cell whose loc head argmaxes
+    the dustbin even when the ids head confidently names a corner
+    (``decode.pred_argmax``) — on the round-3 frontal probe that gate
+    accounted for 42% of all missed corners, with the ids head RIGHT every
+    time. Here such cells contribute candidates positioned at the loc
+    head's best non-dustbin bin, appended AFTER the gated claims so they
+    can only win when a gated candidate is geometrically inconsistent or
+    absent. The homography consistency test is the arbiter the plain
+    decode lacks; on negative frames the ``min_points`` guard keeps
+    everything at exact parity.
+    """
+    import jax
+
+    from .decode import label_to_keypoints_topk
+
+    kp_k, val_k = pred_to_keypoints_topk(loc_hat, ids_hat, dust_bin_ids,
+                                         capacity=capacity,
+                                         min_margin=min_margin)
+    if loc_override:
+        loc_argmax = jnp.argmax(loc_hat, axis=-1).astype(jnp.int32)
+        pos64 = jnp.argmax(loc_hat[..., :64], axis=-1).astype(jnp.int32)
+        ids_raw = jnp.argmax(ids_hat, axis=-1).astype(jnp.int32)
+        conf = jnp.max(ids_hat, axis=-1)
+        if min_margin is not None:
+            margin = conf - ids_hat[..., dust_bin_ids]
+            ids_raw = jnp.where(margin >= min_margin, ids_raw, dust_bin_ids)
+        # only cells the parity decode dropped for the loc gate alone
+        ids_ov = jnp.where(loc_argmax == 64, ids_raw, dust_bin_ids)
+        kp_o, val_o = label_to_keypoints_topk(pos64, ids_ov, dust_bin_ids,
+                                              capacity=override_capacity,
+                                              scores=conf)
+        kp_k = jnp.concatenate([kp_k, kp_o], axis=2)
+        val_k = jnp.concatenate([val_k, val_o], axis=2)
+    fn = lambda kp, va: reselect_by_homography(kp, va, board_xy,
+                                               tol_px=tol_px, iters=iters,
+                                               min_points=min_points)
+    return jax.vmap(fn)(kp_k, val_k)

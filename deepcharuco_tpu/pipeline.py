@@ -132,7 +132,8 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
                       soft_refine: bool = False,
                       min_margin: Optional[float] = None,
                       decode_capacity: int = 1,
-                      rn_decode: Optional[str] = None):
+                      rn_decode: Optional[str] = None,
+                      geom_board_xy: Optional[jnp.ndarray] = None):
     """Detector → decode → patch gather → RefineNet → sub-pixel corners.
 
     Returns (keypoints, valid, refined): (N, n_ids, 2), (N, n_ids) bool,
@@ -157,9 +158,18 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
     ``"avg"`` (mean of the soft-argmax and offset estimates — the measured
     best, see BENCH_NOTES round 3). ``"offset"``/``"avg"`` require a
     ``RefineNet(offset_head=True)`` and matching checkpoint.
-    """
-    from deepcharuco_tpu.ops import pred_to_keypoints_topk
 
+    ``geom_board_xy`` (the board's inner-corner plane coordinates,
+    (n_ids, 2)) switches to the geometry-consistent decode
+    (``ops.pred_to_keypoints_geom``): candidates are reselected per id by
+    planar-homography consistency, recovering loc-gate-suppressed corners
+    and rejecting wrong-cell decoys — see BENCH_NOTES round 3. Off (None)
+    for reference parity; incompatible with ``decode_capacity > 1``.
+    """
+    from deepcharuco_tpu.ops import pred_to_keypoints_geom, pred_to_keypoints_topk
+
+    if geom_board_xy is not None and decode_capacity > 1:
+        raise ValueError("geom decode and decode_capacity>1 are exclusive")
     g = _to_gray_input(frames)
     out = detector.apply(det_vars, g)
     if decode_capacity > 1:
@@ -169,6 +179,10 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
         n = kp_k.shape[0]
         keypoints = kp_k.reshape(n, n_ids * decode_capacity, 2)
         valid = valid_k
+    elif geom_board_xy is not None:
+        keypoints, valid = pred_to_keypoints_geom(out["loc"], out["ids"],
+                                                  n_ids, geom_board_xy,
+                                                  min_margin=min_margin)
     else:
         keypoints, valid = pred_to_keypoints(out["loc"], out["ids"], n_ids,
                                              min_margin=min_margin)
@@ -189,7 +203,8 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
 def two_stage_forward_hires(detector: Detector, refinenet: RefineNet,
                             det_vars, rn_vars, frames_hi, n_ids: int,
                             min_margin: Optional[float] = None,
-                            rn_decode: str = "soft"):
+                            rn_decode: str = "soft",
+                            geom_board_xy: Optional[jnp.ndarray] = None):
     """Hi-res patch tap: detector on a 2×-downsampled view, RefineNet on
     full-resolution patches.
 
@@ -213,8 +228,15 @@ def two_stage_forward_hires(detector: Detector, refinenet: RefineNet,
     g_hi = _to_gray_input(frames_hi)
     g_lo = downsample2x(g_hi)
     out = detector.apply(det_vars, g_lo)
-    keypoints, valid = pred_to_keypoints(out["loc"], out["ids"], n_ids,
-                                         min_margin=min_margin)
+    if geom_board_xy is not None:
+        from deepcharuco_tpu.ops import pred_to_keypoints_geom
+
+        keypoints, valid = pred_to_keypoints_geom(out["loc"], out["ids"],
+                                                  n_ids, geom_board_xy,
+                                                  min_margin=min_margin)
+    else:
+        keypoints, valid = pred_to_keypoints(out["loc"], out["ids"], n_ids,
+                                             min_margin=min_margin)
     kp_hi = 2.0 * keypoints  # integer patch centers in the hi-res frame
     patches = extract_patches(g_hi, kp_hi,
                               patch_size=getattr(refinenet, "patch_size", 24))
@@ -227,7 +249,8 @@ def full_forward_hires(detector: Detector, refinenet: RefineNet,
                        det_vars, rn_vars, frames_hi, n_ids: int,
                        object_points, K, dist, pnp_iters: int = 20,
                        min_margin: Optional[float] = None,
-                       rn_decode: str = "soft"):
+                       rn_decode: str = "soft",
+                       geom_board_xy: Optional[jnp.ndarray] = None):
     """:func:`two_stage_forward_hires` + batched planar PnP, one program.
 
     ``K``/``dist`` must be expressed in the LOW-res (pooled-view) pixel
@@ -236,7 +259,8 @@ def full_forward_hires(detector: Detector, refinenet: RefineNet,
     """
     keypoints, valid, refined = two_stage_forward_hires(
         detector, refinenet, det_vars, rn_vars, frames_hi, n_ids,
-        min_margin=min_margin, rn_decode=rn_decode)
+        min_margin=min_margin, rn_decode=rn_decode,
+        geom_board_xy=geom_board_xy)
     solve = lambda ip, v: solve_pnp(object_points, ip, v, K, dist, iters=pnp_iters)
     ok, rvec, tvec, rms = jax.vmap(solve)(refined, valid)
     return keypoints, valid, refined, ok, rvec, tvec, rms
@@ -247,11 +271,13 @@ def full_forward(detector: Detector, refinenet: Optional[RefineNet],
                  object_points, K, dist, pnp_iters: int = 20,
                  soft_refine: bool = False,
                  min_margin: Optional[float] = None,
-                 rn_decode: Optional[str] = None):
+                 rn_decode: Optional[str] = None,
+                 geom_board_xy: Optional[jnp.ndarray] = None):
     """:func:`two_stage_forward` + batched planar PnP, all in one program."""
     keypoints, valid, refined = two_stage_forward(
         detector, refinenet, det_vars, rn_vars, frames, n_ids,
         soft_refine=soft_refine, min_margin=min_margin, rn_decode=rn_decode,
+        geom_board_xy=geom_board_xy,
     )
     solve = lambda ip, v: solve_pnp(object_points, ip, v, K, dist, iters=pnp_iters)
     ok, rvec, tvec, rms = jax.vmap(solve)(refined, valid)
@@ -376,7 +402,8 @@ def load_pipeline(config: Config, deepc_ckpt: Optional[str] = None,
                   rn_upsample: str = "nearest",
                   rn_patch_size: int = 24,
                   rn_decode: Optional[str] = None,
-                  hires: bool = False) -> "InferencePipeline":
+                  hires: bool = False,
+                  geom_decode: bool = False) -> "InferencePipeline":
     """Parity entry point for reference ``load_models`` + pipeline assembly."""
     dv = load_model_variables(deepc_ckpt, "detector", config.n_ids)
     rv = (load_model_variables(refinenet_ckpt, "refinenet")
@@ -385,7 +412,8 @@ def load_pipeline(config: Config, deepc_ckpt: Optional[str] = None,
                              compute_dtype=compute_dtype,
                              rn_upsample=rn_upsample,
                              rn_patch_size=rn_patch_size,
-                             rn_decode=rn_decode, hires=hires)
+                             rn_decode=rn_decode, hires=hires,
+                             geom_decode=geom_decode)
 
 
 class InferencePipeline:
@@ -405,7 +433,8 @@ class InferencePipeline:
                  rn_patch_size: int = 24,
                  decode_capacity: int = 1,
                  rn_decode: Optional[str] = None,
-                 hires: bool = False):
+                 hires: bool = False,
+                 geom_decode: bool = False):
         self.config = config
         self.n_ids = config.n_ids
         self.detector = Detector(n_ids=config.n_ids, dtype=compute_dtype)
@@ -421,6 +450,11 @@ class InferencePipeline:
             inner_corner_object_points(config.row_count, config.col_count,
                                        config.square_len)
         )
+        # Geometry-consistent decode (opt-in; ops/geom.py): reselect per-id
+        # candidates by planar-homography consistency with the board.
+        if geom_decode and decode_capacity > 1:
+            raise ValueError("geom_decode and decode_capacity>1 are exclusive")
+        board_xy = self.object_points[:, :2] if geom_decode else None
 
         # Hi-res patch tap mode: detect()/detect_with_pose() take frames at
         # 2× the config resolution (e.g. the camera's native 640×480 for a
@@ -439,6 +473,7 @@ class InferencePipeline:
                 lambda dv, rv, x: two_stage_forward_hires(
                     self.detector, self.refinenet, dv, rv, x, self.n_ids,
                     min_margin=min_margin, rn_decode=hires_mode,
+                    geom_board_xy=board_xy,
                 )
             )
             if camera is not None:
@@ -450,6 +485,7 @@ class InferencePipeline:
                         self.detector, self.refinenet, dv, rv, x, self.n_ids,
                         self.object_points, K, dist, pnp_iters,
                         min_margin=min_margin, rn_decode=hires_mode,
+                        geom_board_xy=board_xy,
                     )
                 )
             else:
@@ -465,6 +501,7 @@ class InferencePipeline:
                 self.detector, self.refinenet, dv, rv, x, self.n_ids,
                 soft_refine=soft_refine, min_margin=min_margin,
                 decode_capacity=decode_capacity, rn_decode=rn_decode,
+                geom_board_xy=board_xy,
             )
         )
         if camera is not None:
@@ -475,7 +512,7 @@ class InferencePipeline:
                     self.detector, self.refinenet, dv, rv, x, self.n_ids,
                     self.object_points, K, dist, pnp_iters,
                     soft_refine=soft_refine, min_margin=min_margin,
-                    rn_decode=rn_decode,
+                    rn_decode=rn_decode, geom_board_xy=board_xy,
                 )
             )
         else:

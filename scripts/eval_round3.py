@@ -24,6 +24,10 @@ def main(argv=None):
     ap.add_argument("--refinenet", default="artifacts/refinenet_devsynth.npz")
     ap.add_argument("--samples", type=int, default=512)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--geom", action="store_true",
+                    help="score the geometry-consistent decode "
+                         "(ops.pred_to_keypoints_geom) instead of the "
+                         "parity decode")
     args = ap.parse_args(argv)
 
     import jax
@@ -43,10 +47,23 @@ def main(argv=None):
     det = Detector(n_ids=cfg.n_ids, dtype=jnp.float32)
     dv = load_model_variables(args.detector, "detector", cfg.n_ids)
 
-    @jax.jit
-    def fwd(images):
-        out = det.apply(dv, images)
-        return pred_to_keypoints(out["loc"], out["ids"], cfg.n_ids)
+    if args.geom:
+        from deepcharuco_tpu.board import inner_corner_object_points
+        from deepcharuco_tpu.ops import pred_to_keypoints_geom
+
+        board_xy = jnp.asarray(inner_corner_object_points(
+            cfg.row_count, cfg.col_count, cfg.square_len)[:, :2])
+
+        @jax.jit
+        def fwd(images):
+            out = det.apply(dv, images)
+            return pred_to_keypoints_geom(out["loc"], out["ids"], cfg.n_ids,
+                                          board_xy)
+    else:
+        @jax.jit
+        def fwd(images):
+            out = det.apply(dv, images)
+            return pred_to_keypoints(out["loc"], out["ids"], cfg.n_ids)
 
     def score(batches, name, per_frame_target=None):
         """batches: iterable of (images, kp_true, valid_true)."""

@@ -1,0 +1,143 @@
+"""Geometry-consistent decode (ops/geom.py): planar-homography candidate
+reselection + loc-gate-override candidates. Training-free recall/outlier
+gains measured in BENCH_NOTES round 3; OFF by default (reference parity —
+``src/models/model_utils.py:81-123`` has no geometric filtering)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from deepcharuco_tpu.ops import (
+    pred_to_keypoints,
+    pred_to_keypoints_geom,
+    reselect_by_homography,
+)
+
+N_IDS = 16
+
+
+def _grid_and_true(seed=0):
+    """A 4x4 board-plane grid and its image under a fixed homography."""
+    ids = np.arange(N_IDS)
+    bx = np.stack([ids % 4, ids // 4], -1).astype(np.float32)
+    H = np.array([[20, 1.5, 30], [0.8, 19, 40], [0.001, 0, 1]], np.float32)
+    p = bx @ H[:, :2].T + H[:, 2]
+    true_px = (p[:, :2] / p[:, 2:]).astype(np.float32)
+    rng = np.random.default_rng(seed)
+    return bx, true_px, rng
+
+
+def test_reselect_recovers_displaced_and_rejects_decoys():
+    bx, true_px, rng = _grid_and_true()
+    C = 3
+    kp = np.zeros((N_IDS, C, 2), np.float32)
+    val = np.zeros((N_IDS, C), bool)
+    kp[:, 0] = true_px
+    val[:, 0] = True
+    # id 5: slot 0 is a decoy 16 px away, the true corner sits in slot 1
+    kp[5, 1] = true_px[5]
+    val[5, 1] = True
+    kp[5, 0] = true_px[5] + np.array([16, 8], np.float32)
+    # id 9: ONLY a wrong candidate exists (neighbor-id decoy)
+    kp[9, 0] = true_px[9] + np.array([-24, 0], np.float32)
+    # id 12: no candidates at all
+    val[12] = False
+    kp[val] += rng.normal(0, 0.5, kp[val].shape).astype(np.float32)
+
+    out_kp, out_v = jax.jit(
+        lambda a, b: reselect_by_homography(a, b, jnp.asarray(bx))
+    )(jnp.asarray(kp), jnp.asarray(val))
+    out_kp, out_v = np.asarray(out_kp), np.asarray(out_v)
+    d = np.linalg.norm(out_kp - true_px, axis=-1)
+
+    assert out_v[5] and d[5] < 3.0          # displaced corner recovered
+    assert not out_v[9]                     # lone decoy rejected
+    assert not out_v[12]                    # absent stays absent
+    others = [i for i in range(N_IDS) if i not in (5, 9, 12)]
+    assert out_v[others].all() and d[others].max() < 3.0
+
+
+def test_reselect_guard_keeps_top1_when_underdetermined():
+    bx, true_px, _ = _grid_and_true()
+    kp = np.zeros((N_IDS, 2, 2), np.float32)
+    val = np.zeros((N_IDS, 2), bool)
+    kp[:4, 0] = true_px[:4]
+    val[:4, 0] = True  # only 4 points: below min_points=6
+    out_kp, out_v = reselect_by_homography(jnp.asarray(kp), jnp.asarray(val),
+                                           jnp.asarray(bx))
+    np.testing.assert_array_equal(np.asarray(out_v), val[:, 0])
+    np.testing.assert_allclose(np.asarray(out_kp)[:4], kp[:4, 0])
+
+
+def _maps_from_corners(true_px, hc=30, wc=40):
+    """loc/ids head maps (logits) that decode exactly to ``true_px``."""
+    loc = np.full((1, hc, wc, 65), -5.0, np.float32)
+    ids = np.full((1, hc, wc, N_IDS + 1), -5.0, np.float32)
+    loc[..., 64] = 5.0   # everything dustbin by default
+    ids[..., N_IDS] = 5.0
+    for i, (x, y) in enumerate(true_px):
+        cx, cy = int(x) // 8, int(y) // 8
+        pix = (int(y) % 8) * 8 + int(x) % 8
+        loc[0, cy, cx, 64] = -5.0
+        loc[0, cy, cx, pix] = 5.0
+        ids[0, cy, cx, N_IDS] = -5.0
+        ids[0, cy, cx, i] = 5.0 + 0.1 * i
+    return jnp.asarray(loc), jnp.asarray(ids)
+
+
+def test_geom_matches_plain_on_clean_input():
+    bx, true_px, _ = _grid_and_true()
+    true_px = np.round(true_px)  # cell-grid decode is integer-valued
+    loc, ids = _maps_from_corners(true_px)
+    kp_p, v_p = pred_to_keypoints(loc, ids, N_IDS)
+    kp_g, v_g = pred_to_keypoints_geom(loc, ids, N_IDS, jnp.asarray(bx))
+    np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_g))
+    np.testing.assert_allclose(np.asarray(kp_p), np.asarray(kp_g))
+
+
+def test_geom_loc_gate_override_recovers_suppressed_corner():
+    """A cell whose ids head names the corner but whose loc head argmaxes the
+    dustbin is invisible to the parity decode; the override + homography
+    consistency recovers it at the loc head's best non-dustbin bin."""
+    bx, true_px, _ = _grid_and_true()
+    true_px = np.round(true_px)
+    loc, ids = _maps_from_corners(true_px)
+    loc, ids = np.asarray(loc).copy(), np.asarray(ids).copy()
+    i = 10
+    x, y = true_px[i]
+    cx, cy = int(x) // 8, int(y) // 8
+    loc[0, cy, cx, 64] = 6.0  # loc gate fires; pos64 still points at true pix
+
+    kp_p, v_p = pred_to_keypoints(jnp.asarray(loc), jnp.asarray(ids), N_IDS)
+    assert not np.asarray(v_p)[0, i]  # parity decode drops it
+
+    kp_g, v_g = pred_to_keypoints_geom(jnp.asarray(loc), jnp.asarray(ids),
+                                       N_IDS, jnp.asarray(bx))
+    assert np.asarray(v_g)[0, i]
+    np.testing.assert_allclose(np.asarray(kp_g)[0, i], true_px[i], atol=1.0)
+    # and with the override disabled it stays dropped
+    kp_n, v_n = pred_to_keypoints_geom(jnp.asarray(loc), jnp.asarray(ids),
+                                       N_IDS, jnp.asarray(bx),
+                                       loc_override=False)
+    assert not np.asarray(v_n)[0, i]
+
+
+def test_pipeline_geom_decode_integration():
+    from deepcharuco_tpu.configs import default_config
+    from deepcharuco_tpu.models import Detector, RefineNet
+    from deepcharuco_tpu.pipeline import InferencePipeline
+
+    cfg = default_config()
+    det = Detector(n_ids=cfg.n_ids, dtype=jnp.float32)
+    rn = RefineNet(dtype=jnp.float32)
+    dv = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 1)))
+    rv = rn.init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 1)))
+    with pytest.raises(ValueError, match="exclusive"):
+        InferencePipeline(cfg, dv, rv, geom_decode=True, decode_capacity=4)
+    pipe = InferencePipeline(cfg, dv, rv, geom_decode=True,
+                             compute_dtype=jnp.float32)
+    h, w = cfg.input_hw
+    frames = np.zeros((2, h, w), np.uint8)
+    kp, valid, refined = pipe.detect(frames)
+    assert kp.shape == (2, cfg.n_ids, 2) and valid.shape == (2, cfg.n_ids)
