@@ -41,6 +41,10 @@ def build_argparser():
                         "the product-realistic native-camera-input path")
     p.add_argument("--rn-patch-size", type=int, choices=[24, 32], default=24,
                    help="RefineNet patch size (match the checkpoint)")
+    p.add_argument("--geom-decode", action="store_true",
+                   help="time the geometry-consistent decode "
+                        "(ops/geom.py homography reselection) instead of "
+                        "the parity decode")
     p.add_argument("--fused-head", action="store_true",
                    help="A/B the detector→keypoints stage: XLA heads + jnp "
                         "decode vs the fused Pallas head+decode kernel "
@@ -169,7 +173,8 @@ def main(argv=None):
 
         pipe = InferencePipeline(cfg, dv, rv,
                                  rn_patch_size=args.rn_patch_size,
-                                 hires=args.hires)
+                                 hires=args.hires,
+                                 geom_decode=args.geom_decode)
         rng = np.random.default_rng(0)
 
         def stream_frames(sid):
@@ -211,9 +216,10 @@ def main(argv=None):
     if args.hires and (args.breakdown or args.fused_head):
         raise SystemExit("--hires composes with --with-pose only "
                          "(breakdown/fused-head time the base-res stages)")
+    obj = jnp.asarray(inner_corner_object_points(cfg.row_count, cfg.col_count,
+                                                 cfg.square_len))
+    gxy = obj[:, :2] if args.geom_decode else None
     if args.with_pose:
-        obj = jnp.asarray(inner_corner_object_points(cfg.row_count, cfg.col_count,
-                                                     cfg.square_len))
         h, w = cfg.input_hw
         K = jnp.asarray(np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], np.float32))
         dist = jnp.zeros(5, jnp.float32)
@@ -222,17 +228,20 @@ def main(argv=None):
 
             dist12 = jnp.zeros(12, jnp.float32)
             fn = jax.jit(lambda dv, rv, x: full_forward_hires(
-                det, rn, dv, rv, x, cfg.n_ids, obj, K, dist12))
+                det, rn, dv, rv, x, cfg.n_ids, obj, K, dist12,
+                geom_board_xy=gxy))
         else:
             fn = jax.jit(lambda dv, rv, x: full_forward(det, rn, dv, rv, x, cfg.n_ids,
-                                                        obj, K, dist))
+                                                        obj, K, dist,
+                                                        geom_board_xy=gxy))
     elif args.hires:
         from deepcharuco_tpu.pipeline import two_stage_forward_hires
 
         fn = jax.jit(lambda dv, rv, x: two_stage_forward_hires(
-            det, rn, dv, rv, x, cfg.n_ids))
+            det, rn, dv, rv, x, cfg.n_ids, geom_board_xy=gxy))
     else:
-        fn = jax.jit(lambda dv, rv, x: two_stage_forward(det, rn, dv, rv, x, cfg.n_ids))
+        fn = jax.jit(lambda dv, rv, x: two_stage_forward(det, rn, dv, rv, x, cfg.n_ids,
+                                                         geom_board_xy=gxy))
 
     xs = _input_variants(x, args.iters)
     dt = _time_fn(fn, [(dv, rv, v) for v in xs], args.iters, args.warmup)
@@ -240,6 +249,8 @@ def main(argv=None):
     label = "full+pose" if args.with_pose else "two-stage"
     if args.hires:
         label += " (hires tap)"
+    if args.geom_decode:
+        label += " (geom decode)"
     print(f"{label}: {fps:.1f} fps  ({dt / args.iters * 1000:.2f} ms / batch of {args.batch})")
 
     if args.breakdown:
