@@ -44,6 +44,11 @@ def build_argparser():
     p.add_argument("--geom-decode", action="store_true",
                    help="geometry-consistent decode (planar-homography "
                         "candidate reselection; see ops/geom.py)")
+    p.add_argument("--geom-fill", action="store_true",
+                   help="with --geom-decode: predict undetected in-frame "
+                        "corners at their homography-projected positions "
+                        "and refine them (classical "
+                        "interpolateCornersCharuco recovery)")
     return p
 
 
@@ -77,7 +82,8 @@ def main(argv=None):
     pipe = load_pipeline(cfg, args.deepc, args.refinenet, camera=camera,
                          rn_patch_size=args.rn_patch_size,
                          rn_decode=args.rn_decode, hires=args.hires,
-                         geom_decode=args.geom_decode)
+                         geom_decode=args.geom_decode,
+                         geom_fill=args.geom_fill)
 
     if args.cv2_baseline:
         dictionary = B.get_aruco_dict(cfg.board_name)

@@ -10,7 +10,11 @@ from deepcharuco_tpu.ops.decode import (
     refine_keypoints_offset,
     refine_keypoints_soft,
 )
-from deepcharuco_tpu.ops.geom import pred_to_keypoints_geom, reselect_by_homography
+from deepcharuco_tpu.ops.geom import (
+    fill_from_homography,
+    pred_to_keypoints_geom,
+    reselect_by_homography,
+)
 from deepcharuco_tpu.ops.patches import extract_patches
 from deepcharuco_tpu.ops.heatmap import gaussian_heatmap
 
@@ -28,6 +32,7 @@ __all__ = [
     "refine_keypoints",
     "refine_keypoints_offset",
     "refine_keypoints_soft",
+    "fill_from_homography",
     "pred_to_keypoints_geom",
     "reselect_by_homography",
     "extract_patches",

@@ -133,7 +133,8 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
                       min_margin: Optional[float] = None,
                       decode_capacity: int = 1,
                       rn_decode: Optional[str] = None,
-                      geom_board_xy: Optional[jnp.ndarray] = None):
+                      geom_board_xy: Optional[jnp.ndarray] = None,
+                      geom_fill: bool = False):
     """Detector → decode → patch gather → RefineNet → sub-pixel corners.
 
     Returns (keypoints, valid, refined): (N, n_ids, 2), (N, n_ids) bool,
@@ -165,11 +166,21 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
     planar-homography consistency, recovering loc-gate-suppressed corners
     and rejecting wrong-cell decoys — see BENCH_NOTES round 3. Off (None)
     for reference parity; incompatible with ``decode_capacity > 1``.
+
+    ``geom_fill`` (requires ``geom_board_xy``) additionally predicts every
+    undetected in-frame id at its homography-projected position and runs it
+    through the same RefineNet pass — the classical
+    ``interpolateCornersCharuco`` recovery, measured as accurate as
+    detected corners (``ops.fill_from_homography``).
     """
-    from deepcharuco_tpu.ops import pred_to_keypoints_geom, pred_to_keypoints_topk
+    from deepcharuco_tpu.ops import (fill_from_homography,
+                                     pred_to_keypoints_geom,
+                                     pred_to_keypoints_topk)
 
     if geom_board_xy is not None and decode_capacity > 1:
         raise ValueError("geom decode and decode_capacity>1 are exclusive")
+    if geom_fill and geom_board_xy is None:
+        raise ValueError("geom_fill requires geom_board_xy (geom decode)")
     g = _to_gray_input(frames)
     out = detector.apply(det_vars, g)
     if decode_capacity > 1:
@@ -183,6 +194,11 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
         keypoints, valid = pred_to_keypoints_geom(out["loc"], out["ids"],
                                                   n_ids, geom_board_xy,
                                                   min_margin=min_margin)
+        if geom_fill:
+            hw = g.shape[1:3]
+            keypoints, valid, _ = jax.vmap(
+                lambda kp, v: fill_from_homography(kp, v, geom_board_xy, hw)
+            )(keypoints, valid)
     else:
         keypoints, valid = pred_to_keypoints(out["loc"], out["ids"], n_ids,
                                              min_margin=min_margin)
@@ -204,7 +220,8 @@ def two_stage_forward_hires(detector: Detector, refinenet: RefineNet,
                             det_vars, rn_vars, frames_hi, n_ids: int,
                             min_margin: Optional[float] = None,
                             rn_decode: str = "soft",
-                            geom_board_xy: Optional[jnp.ndarray] = None):
+                            geom_board_xy: Optional[jnp.ndarray] = None,
+                            geom_fill: bool = False):
     """Hi-res patch tap: detector on a 2×-downsampled view, RefineNet on
     full-resolution patches.
 
@@ -229,11 +246,18 @@ def two_stage_forward_hires(detector: Detector, refinenet: RefineNet,
     g_lo = downsample2x(g_hi)
     out = detector.apply(det_vars, g_lo)
     if geom_board_xy is not None:
-        from deepcharuco_tpu.ops import pred_to_keypoints_geom
+        from deepcharuco_tpu.ops import fill_from_homography, pred_to_keypoints_geom
 
         keypoints, valid = pred_to_keypoints_geom(out["loc"], out["ids"],
                                                   n_ids, geom_board_xy,
                                                   min_margin=min_margin)
+        if geom_fill:
+            hw = g_lo.shape[1:3]  # fills live in pooled-view units
+            keypoints, valid, _ = jax.vmap(
+                lambda kp, v: fill_from_homography(kp, v, geom_board_xy, hw)
+            )(keypoints, valid)
+    elif geom_fill:
+        raise ValueError("geom_fill requires geom_board_xy (geom decode)")
     else:
         keypoints, valid = pred_to_keypoints(out["loc"], out["ids"], n_ids,
                                              min_margin=min_margin)
@@ -250,7 +274,8 @@ def full_forward_hires(detector: Detector, refinenet: RefineNet,
                        object_points, K, dist, pnp_iters: int = 20,
                        min_margin: Optional[float] = None,
                        rn_decode: str = "soft",
-                       geom_board_xy: Optional[jnp.ndarray] = None):
+                       geom_board_xy: Optional[jnp.ndarray] = None,
+                       geom_fill: bool = False):
     """:func:`two_stage_forward_hires` + batched planar PnP, one program.
 
     ``K``/``dist`` must be expressed in the LOW-res (pooled-view) pixel
@@ -260,7 +285,7 @@ def full_forward_hires(detector: Detector, refinenet: RefineNet,
     keypoints, valid, refined = two_stage_forward_hires(
         detector, refinenet, det_vars, rn_vars, frames_hi, n_ids,
         min_margin=min_margin, rn_decode=rn_decode,
-        geom_board_xy=geom_board_xy)
+        geom_board_xy=geom_board_xy, geom_fill=geom_fill)
     solve = lambda ip, v: solve_pnp(object_points, ip, v, K, dist, iters=pnp_iters)
     ok, rvec, tvec, rms = jax.vmap(solve)(refined, valid)
     return keypoints, valid, refined, ok, rvec, tvec, rms
@@ -272,12 +297,13 @@ def full_forward(detector: Detector, refinenet: Optional[RefineNet],
                  soft_refine: bool = False,
                  min_margin: Optional[float] = None,
                  rn_decode: Optional[str] = None,
-                 geom_board_xy: Optional[jnp.ndarray] = None):
+                 geom_board_xy: Optional[jnp.ndarray] = None,
+                 geom_fill: bool = False):
     """:func:`two_stage_forward` + batched planar PnP, all in one program."""
     keypoints, valid, refined = two_stage_forward(
         detector, refinenet, det_vars, rn_vars, frames, n_ids,
         soft_refine=soft_refine, min_margin=min_margin, rn_decode=rn_decode,
-        geom_board_xy=geom_board_xy,
+        geom_board_xy=geom_board_xy, geom_fill=geom_fill,
     )
     solve = lambda ip, v: solve_pnp(object_points, ip, v, K, dist, iters=pnp_iters)
     ok, rvec, tvec, rms = jax.vmap(solve)(refined, valid)
@@ -403,7 +429,8 @@ def load_pipeline(config: Config, deepc_ckpt: Optional[str] = None,
                   rn_patch_size: int = 24,
                   rn_decode: Optional[str] = None,
                   hires: bool = False,
-                  geom_decode: bool = False) -> "InferencePipeline":
+                  geom_decode: bool = False,
+                  geom_fill: bool = False) -> "InferencePipeline":
     """Parity entry point for reference ``load_models`` + pipeline assembly."""
     dv = load_model_variables(deepc_ckpt, "detector", config.n_ids)
     rv = (load_model_variables(refinenet_ckpt, "refinenet")
@@ -413,7 +440,7 @@ def load_pipeline(config: Config, deepc_ckpt: Optional[str] = None,
                              rn_upsample=rn_upsample,
                              rn_patch_size=rn_patch_size,
                              rn_decode=rn_decode, hires=hires,
-                             geom_decode=geom_decode)
+                             geom_decode=geom_decode, geom_fill=geom_fill)
 
 
 class InferencePipeline:
@@ -434,7 +461,8 @@ class InferencePipeline:
                  decode_capacity: int = 1,
                  rn_decode: Optional[str] = None,
                  hires: bool = False,
-                 geom_decode: bool = False):
+                 geom_decode: bool = False,
+                 geom_fill: bool = False):
         self.config = config
         self.n_ids = config.n_ids
         self.detector = Detector(n_ids=config.n_ids, dtype=compute_dtype)
@@ -454,6 +482,8 @@ class InferencePipeline:
         # candidates by planar-homography consistency with the board.
         if geom_decode and decode_capacity > 1:
             raise ValueError("geom_decode and decode_capacity>1 are exclusive")
+        if geom_fill and not geom_decode:
+            raise ValueError("geom_fill requires geom_decode=True")
         board_xy = self.object_points[:, :2] if geom_decode else None
 
         # Hi-res patch tap mode: detect()/detect_with_pose() take frames at
@@ -473,7 +503,7 @@ class InferencePipeline:
                 lambda dv, rv, x: two_stage_forward_hires(
                     self.detector, self.refinenet, dv, rv, x, self.n_ids,
                     min_margin=min_margin, rn_decode=hires_mode,
-                    geom_board_xy=board_xy,
+                    geom_board_xy=board_xy, geom_fill=geom_fill,
                 )
             )
             if camera is not None:
@@ -485,7 +515,7 @@ class InferencePipeline:
                         self.detector, self.refinenet, dv, rv, x, self.n_ids,
                         self.object_points, K, dist, pnp_iters,
                         min_margin=min_margin, rn_decode=hires_mode,
-                        geom_board_xy=board_xy,
+                        geom_board_xy=board_xy, geom_fill=geom_fill,
                     )
                 )
             else:
@@ -501,7 +531,7 @@ class InferencePipeline:
                 self.detector, self.refinenet, dv, rv, x, self.n_ids,
                 soft_refine=soft_refine, min_margin=min_margin,
                 decode_capacity=decode_capacity, rn_decode=rn_decode,
-                geom_board_xy=board_xy,
+                geom_board_xy=board_xy, geom_fill=geom_fill,
             )
         )
         if camera is not None:
@@ -512,7 +542,7 @@ class InferencePipeline:
                     self.detector, self.refinenet, dv, rv, x, self.n_ids,
                     self.object_points, K, dist, pnp_iters,
                     soft_refine=soft_refine, min_margin=min_margin,
-                    rn_decode=rn_decode, geom_board_xy=board_xy,
+                    rn_decode=rn_decode, geom_board_xy=board_xy, geom_fill=geom_fill,
                 )
             )
         else:

