@@ -95,3 +95,36 @@ def test_two_stage_spatial_only_mesh(rng):
 
     np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(out[0]))
     np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
+
+
+def test_geom_decode_fill_sharded_matches_single_device(rng):
+    """The geometry-consistent decode + homography fill shard cleanly: both
+    are per-frame (vmap) ops, so the data×spatial mesh program must match
+    the single-device one exactly."""
+    from deepcharuco_tpu.board import inner_corner_object_points
+
+    det = Detector(n_ids=CFG.n_ids, dtype=jnp.float32)
+    rn = RefineNet(dtype=jnp.float32)
+    dv = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 240, 320, 1)))
+    rv = rn.init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 1)))
+    bxy = jnp.asarray(inner_corner_object_points(
+        CFG.row_count, CFG.col_count, CFG.square_len)[:, :2])
+    fn = lambda dv, rv, x: two_stage_forward(det, rn, dv, rv, x, CFG.n_ids,
+                                             geom_board_xy=bxy,
+                                             geom_fill=True)
+    frames = rng.integers(0, 255, (4, 240, 320, 3)).astype(np.uint8)
+
+    ref = jax.jit(fn)(dv, rv, jnp.asarray(frames))
+    ref = tuple(np.asarray(o) for o in ref)
+
+    mesh = make_mesh(n_data=4, n_spatial=2)
+    with mesh:
+        dvs = replicate(mesh, dv)
+        rvs = replicate(mesh, rv)
+        x = shard_frames(mesh, jnp.asarray(frames))
+        out = sharded_inference(fn, mesh)(dvs, rvs, x)
+        out = tuple(np.asarray(o) for o in out)
+
+    np.testing.assert_array_equal(ref[1], out[1])
+    np.testing.assert_allclose(ref[0], out[0], atol=1e-3)
+    np.testing.assert_allclose(ref[2], out[2], atol=1e-3)
