@@ -87,9 +87,13 @@ def reselect_by_homography(kp_topk: jnp.ndarray, valid_topk: jnp.ndarray,
         sel = jnp.where(any_elig[:, None], picked, sel0)
         w = any_elig.astype(jnp.float32)
 
-    keypoints = jnp.where(enough, jnp.where(any_elig[:, None], sel, sel0),
-                          sel0)
-    valid = jnp.where(enough, any_elig, val0)
+    # A degenerate fit (near-collinear detections, garbage H) manifests as
+    # an (almost) empty consistent set — fall back to the parity decode
+    # rather than dropping real detections on a bad fit.
+    fit_ok = jnp.sum(any_elig) >= min_points
+    use = enough & fit_ok
+    keypoints = jnp.where(use, jnp.where(any_elig[:, None], sel, sel0), sel0)
+    valid = jnp.where(use, any_elig, val0)
     return keypoints, valid
 
 

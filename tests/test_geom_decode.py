@@ -193,3 +193,23 @@ def test_pipeline_geom_fill_guard():
     dv = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 1)))
     with pytest.raises(ValueError, match="geom_fill requires"):
         InferencePipeline(cfg, dv, None, geom_fill=True)
+
+
+def test_reselect_degenerate_fit_falls_back_to_parity():
+    """Collinear detections make the homography underdetermined; the decode
+    must fall back to top-1 rather than dropping every detection on a
+    garbage fit."""
+    bx, _, rng = _grid_and_true()
+    kp = np.zeros((N_IDS, 2, 2), np.float32)
+    val = np.zeros((N_IDS, 2), bool)
+    # 8 detections all on ONE board row -> rank-deficient DLT
+    for j, i in enumerate(range(8)):
+        kp[i, 0] = np.array([30 + 20 * j, 50], np.float32)
+        val[i, 0] = True
+    out_kp, out_v = reselect_by_homography(jnp.asarray(kp), jnp.asarray(val),
+                                           jnp.asarray(bx))
+    out_v = np.asarray(out_v)
+    # either the fit coincidentally explains the line (keeps them) or the
+    # fallback fires — in no case may detections be lost
+    assert (out_v | ~val[:, 0]).all()
+    np.testing.assert_allclose(np.asarray(out_kp)[val[:, 0]], kp[val[:, 0], 0])
