@@ -213,3 +213,12 @@ def test_reselect_degenerate_fit_falls_back_to_parity():
     # fallback fires — in no case may detections be lost
     assert (out_v | ~val[:, 0]).all()
     np.testing.assert_allclose(np.asarray(out_kp)[val[:, 0]], kp[val[:, 0], 0])
+
+
+def test_eval_cli_geom_decode(capsys):
+    """--geom-decode drives pred_to_keypoints_geom through the eval CLI."""
+    from deepcharuco_tpu.cli.eval import main
+
+    out = main(["--samples", "16", "--source", "device", "--geom-decode"])
+    assert "target corners" in capsys.readouterr().out
+    assert out["recall"] >= 0.0
