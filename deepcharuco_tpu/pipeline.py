@@ -36,6 +36,11 @@ from deepcharuco_tpu.ops import (
 )
 from deepcharuco_tpu.pnp import solve_pnp
 
+# How far a RefineNet correction may move a homography-FILLED corner before
+# the geometric prediction is trusted instead (see two_stage_forward's
+# geom_fill; fills over occluded texture have no corner signal to refine).
+_FILL_TRUST_PX = 1.5
+
 
 @dataclasses.dataclass(frozen=True)
 class Camera:
@@ -134,7 +139,8 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
                       decode_capacity: int = 1,
                       rn_decode: Optional[str] = None,
                       geom_board_xy: Optional[jnp.ndarray] = None,
-                      geom_fill: bool = False):
+                      geom_fill: bool = False,
+                      return_filled: bool = False):
     """Detector → decode → patch gather → RefineNet → sub-pixel corners.
 
     Returns (keypoints, valid, refined): (N, n_ids, 2), (N, n_ids) bool,
@@ -196,24 +202,37 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
                                                   min_margin=min_margin)
         if geom_fill:
             hw = g.shape[1:3]
-            keypoints, valid, _ = jax.vmap(
+            keypoints, valid, filled = jax.vmap(
                 lambda kp, v: fill_from_homography(kp, v, geom_board_xy, hw)
             )(keypoints, valid)
     else:
         keypoints, valid = pred_to_keypoints(out["loc"], out["ids"], n_ids,
                                              min_margin=min_margin)
+    if not geom_fill:
+        filled = jnp.zeros_like(valid)
     if refinenet is None:
         kp_out = (keypoints.reshape(valid.shape + (2,))
                   if decode_capacity > 1 else keypoints)
-        return kp_out, valid, kp_out
+        return ((kp_out, valid, kp_out, filled) if return_filled
+                else (kp_out, valid, kp_out))
     patches = extract_patches(g, keypoints,
                               patch_size=getattr(refinenet, "patch_size", 24))
     mode = rn_decode or ("soft" if soft_refine else "hard")
     refined = _apply_refiner(refinenet, rn_vars, patches, keypoints, mode)
+    if geom_board_xy is not None and geom_fill:
+        # For a VISIBLE undetected corner the refinement sharpens the fill;
+        # for an OCCLUDED one the patch carries no corner signal and the
+        # refiner drifts arbitrarily, poisoning downstream PnP (measured:
+        # occlusion-probe tvec err 0.46 → 8.6 mm). Trust the refinement of
+        # filled ids only while it stays near the geometric prediction.
+        drift = jnp.linalg.norm(refined - keypoints, axis=-1, keepdims=True)
+        keep = filled[..., None] & (drift > _FILL_TRUST_PX)
+        refined = jnp.where(keep, keypoints, refined)
     if decode_capacity > 1:
         shape = (n, n_ids, decode_capacity, 2)
         return keypoints.reshape(shape), valid, refined.reshape(shape)
-    return keypoints, valid, refined
+    return ((keypoints, valid, refined, filled) if return_filled
+            else (keypoints, valid, refined))
 
 
 def two_stage_forward_hires(detector: Detector, refinenet: RefineNet,
@@ -221,7 +240,8 @@ def two_stage_forward_hires(detector: Detector, refinenet: RefineNet,
                             min_margin: Optional[float] = None,
                             rn_decode: str = "soft",
                             geom_board_xy: Optional[jnp.ndarray] = None,
-                            geom_fill: bool = False):
+                            geom_fill: bool = False,
+                            return_filled: bool = False):
     """Hi-res patch tap: detector on a 2×-downsampled view, RefineNet on
     full-resolution patches.
 
@@ -253,7 +273,7 @@ def two_stage_forward_hires(detector: Detector, refinenet: RefineNet,
                                                   min_margin=min_margin)
         if geom_fill:
             hw = g_lo.shape[1:3]  # fills live in pooled-view units
-            keypoints, valid, _ = jax.vmap(
+            keypoints, valid, filled = jax.vmap(
                 lambda kp, v: fill_from_homography(kp, v, geom_board_xy, hw)
             )(keypoints, valid)
     elif geom_fill:
@@ -261,12 +281,20 @@ def two_stage_forward_hires(detector: Detector, refinenet: RefineNet,
     else:
         keypoints, valid = pred_to_keypoints(out["loc"], out["ids"], n_ids,
                                              min_margin=min_margin)
+    if not geom_fill:
+        filled = jnp.zeros_like(valid)
     kp_hi = 2.0 * keypoints  # integer patch centers in the hi-res frame
     patches = extract_patches(g_hi, kp_hi,
                               patch_size=getattr(refinenet, "patch_size", 24))
     refined_hi = _apply_refiner(refinenet, rn_vars, patches, kp_hi, rn_decode)
     refined = (refined_hi - 0.5) * 0.5
-    return keypoints, valid, refined
+    if geom_board_xy is not None and geom_fill:
+        # same occlusion guard as two_stage_forward, in low-res units
+        drift = jnp.linalg.norm(refined - keypoints, axis=-1, keepdims=True)
+        keep = filled[..., None] & (drift > _FILL_TRUST_PX)
+        refined = jnp.where(keep, keypoints.astype(refined.dtype), refined)
+    return ((keypoints, valid, refined, filled) if return_filled
+            else (keypoints, valid, refined))
 
 
 def full_forward_hires(detector: Detector, refinenet: RefineNet,
@@ -282,12 +310,16 @@ def full_forward_hires(detector: Detector, refinenet: RefineNet,
     units the tap reports corners in — convert a camera calibrated at the
     hi-res input resolution with ``Camera.scaled(0.5)``.
     """
-    keypoints, valid, refined = two_stage_forward_hires(
+    keypoints, valid, refined, filled = two_stage_forward_hires(
         detector, refinenet, det_vars, rn_vars, frames_hi, n_ids,
         min_margin=min_margin, rn_decode=rn_decode,
-        geom_board_xy=geom_board_xy, geom_fill=geom_fill)
+        geom_board_xy=geom_board_xy, geom_fill=geom_fill, return_filled=True)
+    # Pose from MEASURED detections only: filled corners lie on the fitted
+    # homography by construction — they add no independent evidence, and
+    # their (correlated) extrapolation error biases PnP (occlusion probe:
+    # tvec err 0.46 → 2.6 mm when fills were included).
     solve = lambda ip, v: solve_pnp(object_points, ip, v, K, dist, iters=pnp_iters)
-    ok, rvec, tvec, rms = jax.vmap(solve)(refined, valid)
+    ok, rvec, tvec, rms = jax.vmap(solve)(refined, valid & ~filled)
     return keypoints, valid, refined, ok, rvec, tvec, rms
 
 
@@ -299,14 +331,21 @@ def full_forward(detector: Detector, refinenet: Optional[RefineNet],
                  rn_decode: Optional[str] = None,
                  geom_board_xy: Optional[jnp.ndarray] = None,
                  geom_fill: bool = False):
-    """:func:`two_stage_forward` + batched planar PnP, all in one program."""
-    keypoints, valid, refined = two_stage_forward(
+    """:func:`two_stage_forward` + batched planar PnP, all in one program.
+
+    With ``geom_fill`` the pose is solved from MEASURED detections only —
+    filled corners lie on the fitted homography by construction, so they
+    add no independent evidence and their correlated extrapolation error
+    biases PnP (occlusion probe: tvec err 0.46 → 2.6 mm when included).
+    The returned corner set still contains the fills.
+    """
+    keypoints, valid, refined, filled = two_stage_forward(
         detector, refinenet, det_vars, rn_vars, frames, n_ids,
         soft_refine=soft_refine, min_margin=min_margin, rn_decode=rn_decode,
-        geom_board_xy=geom_board_xy, geom_fill=geom_fill,
+        geom_board_xy=geom_board_xy, geom_fill=geom_fill, return_filled=True,
     )
     solve = lambda ip, v: solve_pnp(object_points, ip, v, K, dist, iters=pnp_iters)
-    ok, rvec, tvec, rms = jax.vmap(solve)(refined, valid)
+    ok, rvec, tvec, rms = jax.vmap(solve)(refined, valid & ~filled)
     return keypoints, valid, refined, ok, rvec, tvec, rms
 
 
