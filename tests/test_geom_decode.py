@@ -222,3 +222,42 @@ def test_eval_cli_geom_decode(capsys):
     out = main(["--samples", "16", "--source", "device", "--geom-decode"])
     assert "target corners" in capsys.readouterr().out
     assert out["recall"] >= 0.0
+
+
+def test_pose_ignores_filled_corners():
+    """full_forward with geom_fill must solve pose from measured detections
+    only — identical rvec/tvec to the geom-only pipeline even though the
+    returned corner set includes fills (fills lie on the fitted homography;
+    feeding them to PnP adds correlated bias, measured in BENCH_NOTES)."""
+    import cv2
+
+    from deepcharuco_tpu import board as B
+    from deepcharuco_tpu.configs import default_config
+    from deepcharuco_tpu.pipeline import Camera, load_pipeline
+
+    cfg = default_config()
+    img, _ = B.board_image(B.get_board(cfg), (400, 400),
+                           cfg.row_count, cfg.col_count)
+    tex = cv2.cvtColor(np.asarray(img), cv2.COLOR_BGR2GRAY)
+    frame = np.full((240, 320), 128, np.uint8)
+    M = cv2.getRotationMatrix2D((100.0, 100.0), 20, 1.0)
+    frame[20:220, 60:260] = cv2.warpAffine(
+        cv2.resize(tex, (200, 200), interpolation=cv2.INTER_AREA),
+        M, (200, 200), borderValue=128)
+    frame = frame.copy()
+    frame[90:150, 130:190] = 128  # occlude the middle of the board
+
+    cam = Camera(K=np.array([[320, 0, 160], [0, 320, 120], [0, 0, 1]],
+                            np.float32), dist=np.zeros(5, np.float32))
+    kw = dict(camera=cam, geom_decode=True)
+    geom = load_pipeline(cfg, "artifacts/detector_devsynth.npz",
+                         "artifacts/refinenet_devsynth.npz", **kw)
+    fill = load_pipeline(cfg, "artifacts/detector_devsynth.npz",
+                         "artifacts/refinenet_devsynth.npz", geom_fill=True,
+                         **kw)
+    out_g = geom.detect_with_pose(frame[None])
+    out_f = fill.detect_with_pose(frame[None])
+    assert int(out_f[1].sum()) >= int(out_g[1].sum())  # fills only add
+    if out_g[3][0]:  # pose solvable
+        np.testing.assert_allclose(out_f[4], out_g[4], atol=1e-5)  # rvec
+        np.testing.assert_allclose(out_f[5], out_g[5], atol=1e-6)  # tvec
