@@ -27,6 +27,7 @@ filtering).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from deepcharuco_tpu.pnp.solve import _dlt_homography
@@ -154,8 +155,6 @@ def pred_to_keypoints_geom(loc_hat: jnp.ndarray, ids_hat: jnp.ndarray,
     decode lacks; on negative frames the ``min_points`` guard keeps
     everything at exact parity.
     """
-    import jax
-
     from .decode import label_to_keypoints_topk
 
     kp_k, val_k = pred_to_keypoints_topk(loc_hat, ids_hat, dust_bin_ids,
