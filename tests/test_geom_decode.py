@@ -261,3 +261,28 @@ def test_pose_ignores_filled_corners():
     if out_g[3][0]:  # pose solvable
         np.testing.assert_allclose(out_f[4], out_g[4], atol=1e-5)  # rvec
         np.testing.assert_allclose(out_f[5], out_g[5], atol=1e-6)  # tvec
+
+
+def test_hires_geom_fill_pipeline():
+    """The hires tap composes with geom decode + fill (trust-clamp branch in
+    two_stage_forward_hires) and with pose (fills excluded from PnP)."""
+    from deepcharuco_tpu.configs import default_config
+    from deepcharuco_tpu.models import Detector, RefineNet
+    from deepcharuco_tpu.pipeline import Camera, InferencePipeline
+
+    cfg = default_config()
+    det = Detector(n_ids=cfg.n_ids, dtype=jnp.float32)
+    rn = RefineNet(dtype=jnp.float32, patch_size=32)
+    dv = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 1)))
+    rv = rn.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 1)))
+    h, w = cfg.input_hw
+    cam = Camera(K=np.array([[2 * w, 0, w], [0, 2 * w, h], [0, 0, 1]],
+                            np.float32), dist=np.zeros(12, np.float32))
+    pipe = InferencePipeline(cfg, dv, rv, camera=cam, rn_patch_size=32,
+                             compute_dtype=jnp.float32, hires=True,
+                             geom_decode=True, geom_fill=True)
+    frames = np.zeros((2, 2 * h, 2 * w), np.uint8)
+    kp, valid, refined = pipe.detect(frames)
+    assert kp.shape == (2, cfg.n_ids, 2)
+    out = pipe.detect_with_pose(frames)
+    assert len(out) == 7
