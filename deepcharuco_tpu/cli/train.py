@@ -61,6 +61,11 @@ def build_argparser():
                         "3x3 neighborhood of a true corner are excluded from "
                         "the pool (the corner response legitimately bleeds "
                         "across cell borders); 0 = off")
+    p.add_argument("--conf-fg-topk", type=int, default=0,
+                   help="additionally hinge the K WORST true-corner cells "
+                        "per image (foreground hard mining): targets the "
+                        "frontal ids-head dustbin/confusion misses the "
+                        "round-3 pathology dump isolated; 0 = off")
     p.add_argument("--axis-snap-p", type=float, default=0.0,
                    help="with --device-synth: probability of snapping the "
                         "board rotation to the nearest 90° (±2°) with near-"
@@ -156,7 +161,8 @@ def main(argv=None):
 
     step_fn = make_detector_train_step(det, tx, conf_weight=args.conf_weight,
                                        conf_margin=args.conf_margin,
-                                       conf_topk=args.conf_topk)
+                                       conf_topk=args.conf_topk,
+                                       conf_fg_topk=args.conf_fg_topk)
 
     mesh = None
     if args.data_parallel and len(jax.devices()) > 1:

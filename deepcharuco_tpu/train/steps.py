@@ -70,7 +70,7 @@ def create_refinenet_state(rn: RefineNet, rng,
 def detector_loss_fn(det: Detector, params, batch_stats, images, loc_labels,
                      ids_labels, train: bool = True,
                      conf_weight: float = 0.0, conf_margin: float = 4.0,
-                     conf_topk: int = 0):
+                     conf_topk: int = 0, conf_fg_topk: int = 0):
     """CE(loc) + CE(ids); labels are (N, Hc, Wc) int maps (ref net.py:148-153,
     label construction data.py:14-51). Returns (loss, (aux, new_batch_stats)).
 
@@ -158,6 +158,18 @@ def detector_loss_fn(det: Detector, params, batch_stats, images, loc_labels,
             worst = jnp.where(minable, bg_viol + loc_bg_viol, 0.0).reshape(n, -1)
             topk = jax.lax.top_k(worst, conf_topk)[0]      # (N, k)
             loss_conf = loss_conf + jnp.mean(topk)
+        if conf_fg_topk > 0:
+            # Foreground hard mining (round 3): the geom-decode pathology
+            # dump showed the remaining frontal misses are TRUE-corner
+            # cells whose ids head argmaxes the dustbin or a neighbor id —
+            # a foreground margin failure the mean fg hinge dilutes over
+            # every easy corner. Mining each image's worst corner cells
+            # concentrates gradient on exactly those (frontal/foreshortened)
+            # cells; satisfied corners contribute 0.
+            n = ids_hat.shape[0]
+            fg_worst = jnp.where(~is_bg, fg_viol, 0.0).reshape(n, -1)
+            loss_conf = loss_conf + jnp.mean(
+                jax.lax.top_k(fg_worst, conf_fg_topk)[0])
         loss = loss + conf_weight * loss_conf
         aux = {**aux, "loss": loss, "loss_conf": loss_conf}
     return loss, (aux, new_stats, out)
@@ -221,14 +233,16 @@ def make_detector_train_step(det: Detector,
                              tx: optax.GradientTransformation,
                              conf_weight: float = 0.0,
                              conf_margin: float = 4.0,
-                             conf_topk: int = 0) -> Callable:
+                             conf_topk: int = 0,
+                             conf_fg_topk: int = 0) -> Callable:
     def step(state: TrainState, images, loc_labels, ids_labels):
         (loss, (aux, new_stats, _)), grads = jax.value_and_grad(
             lambda p: detector_loss_fn(det, p, state.batch_stats, images,
                                        loc_labels, ids_labels,
                                        conf_weight=conf_weight,
                                        conf_margin=conf_margin,
-                                       conf_topk=conf_topk),
+                                       conf_topk=conf_topk,
+                                       conf_fg_topk=conf_fg_topk),
             has_aux=True,
         )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -217,3 +217,58 @@ def test_conf_topk_excludes_corner_adjacent_cells():
     assert abs(float(topk_adj) - float(base_adj)) < 1e-6
     # far offender: mined — extra loss strictly positive
     assert float(topk_far) - float(base_far) > 1.0
+
+
+def test_conf_fg_topk_mines_worst_corner_cells():
+    """Foreground hard mining (--conf-fg-topk): a TRUE-corner cell whose ids
+    head argmaxes the dustbin (the round-3 frontal pathology) must add loss
+    beyond the mean hinge; with every corner satisfied it adds nothing."""
+    import jax.numpy as jnp
+
+    from deepcharuco_tpu.train.steps import detector_loss_fn
+
+    n_ids = 16
+    hc, wc = 6, 8
+    loc = np.full((1, hc, wc), 64, np.int64)
+    ids = np.full((1, hc, wc), n_ids, np.int64)
+    for k, (r, c) in enumerate([(1, 1), (1, 5), (4, 1), (4, 5)]):
+        loc[0, r, c] = 3
+        ids[0, r, c] = k
+
+    class _Fake:
+        def __init__(self, out):
+            self.out = out
+
+        def apply(self, variables, images, train=False, mutable=None):
+            return (self.out, {"batch_stats": {}}) if train else self.out
+
+    def make_out(confused):
+        loc_hat = np.zeros((1, hc, wc, 65), np.float32)
+        ids_hat = np.zeros((1, hc, wc, n_ids + 1), np.float32)
+        loc_hat[..., 64] = 10.0
+        ids_hat[..., n_ids] = 10.0
+        for k, (r, c) in enumerate([(1, 1), (1, 5), (4, 1), (4, 5)]):
+            loc_hat[0, r, c, 64] = 0.0
+            loc_hat[0, r, c, 3] = 10.0
+            ids_hat[0, r, c, n_ids] = 0.0
+            ids_hat[0, r, c, k] = 10.0
+        if confused:  # corner (1,1): ids head prefers the dustbin (margin -20)
+            ids_hat[0, 1, 1, 0] = -10.0
+            ids_hat[0, 1, 1, n_ids] = 10.0
+        return {"loc": jnp.asarray(loc_hat), "ids": jnp.asarray(ids_hat)}
+
+    kw = dict(conf_weight=1.0, conf_margin=4.0, train=False)
+    args = (None, {}, None, jnp.asarray(loc), jnp.asarray(ids))
+    sat_base, _ = detector_loss_fn(_Fake(make_out(False)), *args,
+                                   conf_fg_topk=0, **kw)
+    sat_fg, _ = detector_loss_fn(_Fake(make_out(False)), *args,
+                                 conf_fg_topk=2, **kw)
+    # all corners satisfied: fg mining adds exactly nothing
+    assert abs(float(sat_fg) - float(sat_base)) < 1e-6
+    bad_base, _ = detector_loss_fn(_Fake(make_out(True)), *args,
+                                   conf_fg_topk=0, **kw)
+    bad_fg, _ = detector_loss_fn(_Fake(make_out(True)), *args,
+                                 conf_fg_topk=2, **kw)
+    # the confused corner's margin violation (24) is mined at ~1/k weight
+    # beyond its mean-hinge contribution
+    assert float(bad_fg) - float(bad_base) > 5.0
