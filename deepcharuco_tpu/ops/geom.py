@@ -71,7 +71,6 @@ def reselect_by_homography(kp_topk: jnp.ndarray, valid_topk: jnp.ndarray,
 
     sel, w = sel0, val0.astype(jnp.float32)
     any_elig = val0
-    slot = jnp.zeros(kp_topk.shape[0], dtype=jnp.int32)
     # annealed tolerances: generous while the fit still contains decoys,
     # `tol_px` on the last round
     tols = [tol_px * (2.0 ** (iters - 1 - k)) for k in range(iters)]
@@ -104,9 +103,10 @@ def fill_from_homography(keypoints: jnp.ndarray, valid: jnp.ndarray,
     """Predict the positions of UNDETECTED ids from the detected ones.
 
     The classical pipeline does exactly this: cv2.aruco's
-    ``interpolateCornersCharuco`` projects chessboard corners through the
-    homography implied by the detected markers, then refines them locally
-    (the reference calls it at ``src/aruco_utils.py``'s detect path). Here
+    ``interpolateCornersCharuco`` / ``CharucoDetector.detectBoard`` project
+    chessboard corners through the homography implied by the detected
+    markers, then refine them locally (the classical baseline in
+    ``board.cv2_aruco_detect`` relies on that machinery internally). Here
     the homography is refit from the (geometry-reselected) detected
     corners, every invalid id inside the frame is filled at its projected
     position, and the caller's RefineNet pass then refines filled and
