@@ -57,8 +57,56 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _tpu_claimable(timeout_s: float = 150.0) -> bool:
+    """Bounded subprocess probe of the axon TPU grant.
+
+    The 2026-08-17 tunnel outage (CLAUDE.md) showed a failure mode where
+    EVERY device claim hangs indefinitely — an in-process ``import jax`` +
+    first dispatch would wedge this harness (and the driver running it)
+    forever. A throwaway subprocess with a hard timeout is the only safe
+    way to test claimability: if it wedges, we kill it and report the chip
+    down instead of hanging.
+    """
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp\n"
+            "print(float(jnp.sum(jnp.ones((128, 128)))))\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    force_cpu = os.environ.get("JAX_PLATFORMS", "axon") == "cpu"
+    # Outage guard: only when targeting the real chip (tests pin cpu).
+    if not force_cpu and os.environ.get("BENCH_SKIP_PROBE", "0") != "1":
+        if not _tpu_claimable():
+            _log("TPU grant unclaimable (bounded probe hung) — the known "
+                 "axon outage mode (CLAUDE.md, 2026-08-17). Refusing to "
+                 "hang; re-run after `bash scripts/wait_for_tpu.sh` "
+                 "succeeds, or set BENCH_SKIP_PROBE=1 to bypass.")
+            print(json.dumps({
+                "metric": "fps_full_pipeline_320x240",
+                "value": 0.0,
+                "unit": "fps",
+                "vs_baseline": 0.0,
+                "note": "tpu_unclaimable_outage",
+            }))
+            return
+        # A fresh claim right after the probe's release can hang (CLAUDE.md:
+        # wait ~20-30 s between TPU processes); the probe exits cleanly so a
+        # short settle suffices.
+        time.sleep(10)
     import jax
+
+    if force_cpu:
+        # The axon sitecustomize re-asserts the TPU backend through
+        # jax.config at interpreter start, so the env var alone is NOT
+        # enough off the pytest path (CLAUDE.md) — honor it here.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from deepcharuco_tpu.configs import default_config

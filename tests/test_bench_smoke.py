@@ -7,6 +7,21 @@ import json
 import numpy as np
 
 
+def test_bench_outage_guard_emits_json_instead_of_hanging(monkeypatch, capsys):
+    """When the axon grant is unclaimable (2026-08-17 outage mode), bench.py
+    must emit ONE honest JSON line and return — never wedge the driver."""
+    import bench
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.delenv("BENCH_SKIP_PROBE", raising=False)
+    monkeypatch.setattr(bench, "_tpu_claimable", lambda **kw: False)
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    rec = json.loads(out[0])
+    assert rec["value"] == 0.0 and rec["note"] == "tpu_unclaimable_outage"
+
+
 def test_bench_main_contract(monkeypatch, capsys):
     import bench
 
