@@ -34,11 +34,13 @@ def build_argparser():
     p.add_argument("--size", default=None,
                    help="override input resolution WxH (e.g. 640x480)")
     p.add_argument("--frames-per-stream", type=int, default=64)
-    p.add_argument("--hires", action="store_true",
-                   help="hi-res patch tap: frames at 2x the config "
-                        "resolution, detector on the pooled view, RefineNet "
-                        "on full-res patches (two_stage_forward_hires) — "
-                        "the product-realistic native-camera-input path")
+    p.add_argument("--hires", nargs="?", type=int, const=2, default=0,
+                   choices=[2, 4], metavar="SCALE",
+                   help="hi-res patch tap: frames at SCALE× the config "
+                        "resolution (bare flag = 2), detector on the pooled "
+                        "view, RefineNet on full-res patches "
+                        "(two_stage_forward_hires) — the product-realistic "
+                        "native-camera-input path")
     p.add_argument("--rn-patch-size", type=int, choices=[24, 32], default=24,
                    help="RefineNet patch size (match the checkpoint)")
     p.add_argument("--geom-decode", action="store_true",
@@ -154,7 +156,7 @@ def main(argv=None):
     if args.hires:
         from deepcharuco_tpu.configs import scaled_config
 
-        frame_cfg = scaled_config(cfg, 2)  # frames come in at 2x
+        frame_cfg = scaled_config(cfg, args.hires)  # frames come in at s×
     else:
         frame_cfg = cfg
     frame = _frame(frame_cfg, args)
@@ -229,7 +231,7 @@ def main(argv=None):
             dist12 = jnp.zeros(12, jnp.float32)
             fn = jax.jit(lambda dv, rv, x: full_forward_hires(
                 det, rn, dv, rv, x, cfg.n_ids, obj, K, dist12,
-                geom_board_xy=gxy))
+                geom_board_xy=gxy, scale=args.hires))
         else:
             fn = jax.jit(lambda dv, rv, x: full_forward(det, rn, dv, rv, x, cfg.n_ids,
                                                         obj, K, dist,
@@ -238,7 +240,8 @@ def main(argv=None):
         from deepcharuco_tpu.pipeline import two_stage_forward_hires
 
         fn = jax.jit(lambda dv, rv, x: two_stage_forward_hires(
-            det, rn, dv, rv, x, cfg.n_ids, geom_board_xy=gxy))
+            det, rn, dv, rv, x, cfg.n_ids, geom_board_xy=gxy,
+            scale=args.hires))
     else:
         fn = jax.jit(lambda dv, rv, x: two_stage_forward(det, rn, dv, rv, x, cfg.n_ids,
                                                          geom_board_xy=gxy))

@@ -60,12 +60,13 @@ def build_argparser():
     p.add_argument("--scale", type=float, default=None,
                    help="device source: pin the board scale (e.g. 1.0 for "
                         "the full-frame frontal probe)")
-    p.add_argument("--hires", action="store_true",
-                   help="hi-res patch tap protocol: synthesize 2x-resolution "
-                        "frames, detector on the pooled view, RefineNet on "
-                        "full-res patches (two_stage_forward_hires); errors "
-                        "reported in base-config px (device+subpixel only; "
-                        "use a --frame-scale 2 trained checkpoint)")
+    p.add_argument("--hires", nargs="?", type=int, const=2, default=0,
+                   choices=[2, 4], metavar="SCALE",
+                   help="hi-res patch tap protocol: synthesize SCALE×-"
+                        "resolution frames (bare flag = 2), detector on the "
+                        "pooled view, RefineNet on full-res patches "
+                        "(two_stage_forward_hires); errors reported in "
+                        "base-config px (device+subpixel only)")
     p.add_argument("--geom-decode", action="store_true",
                    help="geometry-consistent decode: per-id candidate "
                         "reselection by planar-homography consistency, incl. "
@@ -161,7 +162,8 @@ def main(argv=None):
                                            cfg.n_ids,
                                            min_margin=args.min_margin,
                                            rn_decode=hires_mode,
-                                           geom_board_xy=gxy)
+                                           geom_board_xy=gxy,
+                                           scale=args.hires)
 
     bs = 16
     n_batches = max(1, args.samples // bs)
@@ -174,7 +176,7 @@ def main(argv=None):
         from deepcharuco_tpu.data.device_synth import DeviceSynthesizer
 
         sr = (args.scale, args.scale + 1e-4) if args.scale else None
-        synth_cfg = scaled_config(cfg, 2) if args.hires else cfg
+        synth_cfg = scaled_config(cfg, args.hires) if args.hires else cfg
         synth = DeviceSynthesizer(synth_cfg,
                                   negative_p=0.0 if args.frontal else 0.05,
                                   axis_snap_p=1.0 if args.frontal else 0.0,
@@ -190,8 +192,9 @@ def main(argv=None):
                     images, loc, ids, kpts, vis = full_fn(jax.random.PRNGKey(j))
                     if args.hires:
                         # hi-res coords → base-config px (pool convention:
-                        # x_hi = 2·x_lo + 0.5)
-                        kpts = (kpts - 0.5) * 0.5
+                        # x_hi = s·x_lo + (s−1)/2)
+                        s = args.hires
+                        kpts = (kpts - (s - 1) * 0.5) / s
                     yield images, (kpts, vis)
         else:
             gen = synth.batch_fn(bs)

@@ -23,11 +23,13 @@ def build_argparser():
     p.add_argument("--out-dir", default=None, help="write annotated images here")
     p.add_argument("--cv2-baseline", action="store_true",
                    help="append classical cv2.aruco detection side-by-side")
-    p.add_argument("--hires", action="store_true",
-                   help="hi-res patch tap: images are at 2x the config "
-                        "resolution; the detector runs on a 2x2-pooled view "
-                        "and RefineNet on full-res patches. Printed/drawn "
-                        "coordinates are in the INPUT image's pixels")
+    p.add_argument("--hires", nargs="?", type=int, const=2, default=0,
+                   choices=[2, 4], metavar="SCALE",
+                   help="hi-res patch tap: images are at SCALE× the config "
+                        "resolution (bare flag = 2); the detector runs on a "
+                        "pooled view and RefineNet on full-res patches. "
+                        "Printed/drawn coordinates are in the INPUT image's "
+                        "pixels")
     p.add_argument("--rn-patch-size", type=int, choices=[24, 32], default=24,
                    help="RefineNet patch size (match the checkpoint)")
     p.add_argument("--rn-decode", choices=["hard", "soft", "offset", "avg"],

@@ -31,11 +31,12 @@ def build_argparser():
     p.add_argument("--ransac", action="store_true",
                    help="robust pose: in-jit RANSAC over detections instead "
                         "of plain least squares")
-    p.add_argument("--hires", action="store_true",
-                   help="hi-res patch tap: frames are at 2x the config "
-                        "resolution; detector on the pooled view, RefineNet "
-                        "on full-res patches. --camera is the one calibrated "
-                        "at the frame (hi-res) resolution")
+    p.add_argument("--hires", nargs="?", type=int, const=2, default=0,
+                   choices=[2, 4], metavar="SCALE",
+                   help="hi-res patch tap: frames are at SCALE× the config "
+                        "resolution (bare flag = 2); detector on the pooled "
+                        "view, RefineNet on full-res patches. --camera is "
+                        "the one calibrated at the frame (hi-res) resolution")
     p.add_argument("--rn-patch-size", type=int, choices=[24, 32], default=24,
                    help="RefineNet patch size (match the checkpoint)")
     p.add_argument("--rn-decode", choices=["hard", "soft", "offset", "avg"],
@@ -72,7 +73,7 @@ def main(argv=None):
         # config when --hires) so the pipeline still runs
         h, w = cfg.input_hw
         if args.hires:
-            h, w = 2 * h, 2 * w
+            h, w = args.hires * h, args.hires * w
         camera = Camera(
             K=np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], np.float32),
             dist=np.zeros(5, np.float32),
@@ -112,7 +113,7 @@ def main(argv=None):
             ransac_key, sub = jax.random.split(ransac_key)
             # detections are in the pipeline's working units (pooled view
             # when --hires), so solve with the matching intrinsics
-            cam_solve = camera.scaled(0.5) if args.hires else camera
+            cam_solve = camera.scaled(1.0 / args.hires) if args.hires else camera
             ok, rvec, tvec, rms, _ = solve_pnp_ransac_batch(
                 pipe.object_points, jnp.asarray(refined), jnp.asarray(valid),
                 jnp.asarray(cam_solve.K, jnp.float32),

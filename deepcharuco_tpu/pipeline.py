@@ -241,29 +241,37 @@ def two_stage_forward_hires(detector: Detector, refinenet: RefineNet,
                             rn_decode: str = "soft",
                             geom_board_xy: Optional[jnp.ndarray] = None,
                             geom_fill: bool = False,
-                            return_filled: bool = False):
-    """Hi-res patch tap: detector on a 2×-downsampled view, RefineNet on
-    full-resolution patches.
+                            return_filled: bool = False,
+                            scale: int = 2):
+    """Hi-res patch tap: detector on a ``scale``×-downsampled view, RefineNet
+    on full-resolution patches.
 
     The TPU-native form of the reference's 2×-resolution RefineNet data
     (``src/data_refinenet.py:97-100`` renders at ``s_factor=2`` so refine
     patches carry detail the detector never sees). Input ``frames_hi`` at
-    (N, 2H, 2W[, C]) — e.g. the camera's native 640×480 when the detector
-    runs its usual 320×240 grid. Detector cost is unchanged (it sees the
-    pooled view); the refiner sees 2× detail at identical FLOPs, so the
-    whole tap costs only the pooling + the larger input transfer.
+    (N, s·H, s·W[, C]) — e.g. the camera's native 640×480 when the detector
+    runs its usual 320×240 grid (``scale=2``), or 1280×960 for the 4× tap.
+    Detector cost is unchanged (it sees the pooled view); the refiner sees
+    ``scale``× detail at identical FLOPs, so the whole tap costs only the
+    pooling + the larger input transfer.
 
-    Coordinate contract: the 2×2 average pool puts low-res center x at
-    hi-res coordinate 2x + 0.5 (``ops.image.downsample2x``), so refined
-    hi-res positions map back as (x_hi − 0.5)/2. Returns (keypoints, valid,
+    Coordinate contract: each 2×2 average pool puts low-res center x at
+    hi-res coordinate 2x + 0.5 (``ops.image.downsample2x``); composed
+    ``log2(scale)`` times that is x_hi = s·x_lo + (s−1)/2, so refined hi-res
+    positions map back as (x_hi − (s−1)/2)/s. Returns (keypoints, valid,
     refined) in LOW-res pixel units — drop-in comparable with
-    :func:`two_stage_forward`. Requires a RefineNet trained on hi-res
-    patches (``cli.train_refinenet --frame-scale 2``).
+    :func:`two_stage_forward`. The shipped RN-32 generalizes to 2× patches
+    without retraining (BENCH_NOTES); ``scale=4`` is the experimental next
+    octave (``cli.train_refinenet --frame-scale N`` trains matched weights).
     """
     from deepcharuco_tpu.ops import downsample2x
 
+    if scale not in (2, 4):
+        raise ValueError(f"hires tap supports scale 2 or 4, got {scale}")
     g_hi = _to_gray_input(frames_hi)
-    g_lo = downsample2x(g_hi)
+    g_lo = g_hi
+    for _ in range(scale.bit_length() - 1):
+        g_lo = downsample2x(g_lo)
     out = detector.apply(det_vars, g_lo)
     if geom_board_xy is not None:
         from deepcharuco_tpu.ops import fill_from_homography, pred_to_keypoints_geom
@@ -283,11 +291,11 @@ def two_stage_forward_hires(detector: Detector, refinenet: RefineNet,
                                              min_margin=min_margin)
     if not geom_fill:
         filled = jnp.zeros_like(valid)
-    kp_hi = 2.0 * keypoints  # integer patch centers in the hi-res frame
+    kp_hi = float(scale) * keypoints  # integer patch centers, hi-res frame
     patches = extract_patches(g_hi, kp_hi,
                               patch_size=getattr(refinenet, "patch_size", 24))
     refined_hi = _apply_refiner(refinenet, rn_vars, patches, kp_hi, rn_decode)
-    refined = (refined_hi - 0.5) * 0.5
+    refined = (refined_hi - (scale - 1) * 0.5) / scale
     if geom_board_xy is not None and geom_fill:
         # same occlusion guard as two_stage_forward, in low-res units
         drift = jnp.linalg.norm(refined - keypoints, axis=-1, keepdims=True)
@@ -303,17 +311,19 @@ def full_forward_hires(detector: Detector, refinenet: RefineNet,
                        min_margin: Optional[float] = None,
                        rn_decode: str = "soft",
                        geom_board_xy: Optional[jnp.ndarray] = None,
-                       geom_fill: bool = False):
+                       geom_fill: bool = False,
+                       scale: int = 2):
     """:func:`two_stage_forward_hires` + batched planar PnP, one program.
 
     ``K``/``dist`` must be expressed in the LOW-res (pooled-view) pixel
     units the tap reports corners in — convert a camera calibrated at the
-    hi-res input resolution with ``Camera.scaled(0.5)``.
+    hi-res input resolution with ``Camera.scaled(1/scale)``.
     """
     keypoints, valid, refined, filled = two_stage_forward_hires(
         detector, refinenet, det_vars, rn_vars, frames_hi, n_ids,
         min_margin=min_margin, rn_decode=rn_decode,
-        geom_board_xy=geom_board_xy, geom_fill=geom_fill, return_filled=True)
+        geom_board_xy=geom_board_xy, geom_fill=geom_fill, return_filled=True,
+        scale=scale)
     # Pose from MEASURED detections only: filled corners lie on the fitted
     # homography by construction — they add no independent evidence, and
     # their (correlated) extrapolation error biases PnP (occlusion probe:
@@ -467,10 +477,12 @@ def load_pipeline(config: Config, deepc_ckpt: Optional[str] = None,
                   rn_upsample: str = "nearest",
                   rn_patch_size: int = 24,
                   rn_decode: Optional[str] = None,
-                  hires: bool = False,
+                  hires=False,
                   geom_decode: bool = False,
                   geom_fill: bool = False) -> "InferencePipeline":
-    """Parity entry point for reference ``load_models`` + pipeline assembly."""
+    """Parity entry point for reference ``load_models`` + pipeline assembly.
+
+    ``hires``: False (base resolution), True/2 (2× patch tap), or 4."""
     dv = load_model_variables(deepc_ckpt, "detector", config.n_ids)
     rv = (load_model_variables(refinenet_ckpt, "refinenet")
           if refinenet_ckpt is not None else None)
@@ -499,7 +511,7 @@ class InferencePipeline:
                  rn_patch_size: int = 24,
                  decode_capacity: int = 1,
                  rn_decode: Optional[str] = None,
-                 hires: bool = False,
+                 hires=False,
                  geom_decode: bool = False,
                  geom_fill: bool = False):
         self.config = config
@@ -526,27 +538,33 @@ class InferencePipeline:
         board_xy = self.object_points[:, :2] if geom_decode else None
 
         # Hi-res patch tap mode: detect()/detect_with_pose() take frames at
-        # 2× the config resolution (e.g. the camera's native 640×480 for a
-        # 320×240 detector grid); outputs stay in LOW-res units. The camera,
-        # if given, is the one calibrated at the INPUT (hi-res) resolution —
-        # it is rescaled to pooled-view units here (Camera.scaled).
-        self.hires = hires
+        # ``hires``× the config resolution (hires=True ≡ 2; e.g. the camera's
+        # native 640×480 for a 320×240 detector grid); outputs stay in
+        # LOW-res units. The camera, if given, is the one calibrated at the
+        # INPUT (hi-res) resolution — it is rescaled to pooled-view units
+        # here (Camera.scaled).
+        self.hires_scale = (2 if hires is True else int(hires)) if hires else 1
+        self.hires = bool(hires)
         if hires:
+            if self.hires_scale not in (2, 4):
+                raise ValueError("hires accepts True/2/4, got "
+                                 f"{hires!r}")
             if self.refinenet is None:
                 raise ValueError("hires tap needs RefineNet weights "
                                  "(the full-res patches ARE the point)")
             if decode_capacity > 1:
                 raise ValueError("hires does not support decode_capacity > 1")
             hires_mode = rn_decode or "soft"
+            s = self.hires_scale
             self._two_stage = jax.jit(
                 lambda dv, rv, x: two_stage_forward_hires(
                     self.detector, self.refinenet, dv, rv, x, self.n_ids,
                     min_margin=min_margin, rn_decode=hires_mode,
-                    geom_board_xy=board_xy, geom_fill=geom_fill,
+                    geom_board_xy=board_xy, geom_fill=geom_fill, scale=s,
                 )
             )
             if camera is not None:
-                cam_lo = camera.scaled(0.5)
+                cam_lo = camera.scaled(1.0 / s)
                 K = jnp.asarray(cam_lo.K, jnp.float32)
                 dist = jnp.asarray(cam_lo.dist, jnp.float32)
                 self._full = jax.jit(
@@ -554,7 +572,7 @@ class InferencePipeline:
                         self.detector, self.refinenet, dv, rv, x, self.n_ids,
                         self.object_points, K, dist, pnp_iters,
                         min_margin=min_margin, rn_decode=hires_mode,
-                        geom_board_xy=board_xy, geom_fill=geom_fill,
+                        geom_board_xy=board_xy, geom_fill=geom_fill, scale=s,
                     )
                 )
             else:
@@ -608,10 +626,11 @@ class InferencePipeline:
 
         The hires tap reports corners in pooled-view (low-res) units; for
         drawing on or printing against the caller's full-resolution frame,
-        apply the pool-center contract ``x_hi = 2·x_lo + 0.5``. Identity
+        apply the pool-center contract ``x_hi = s·x_lo + (s−1)/2``. Identity
         for the base-resolution pipeline."""
         xy = np.asarray(xy)
-        return 2.0 * xy + 0.5 if self.hires else xy
+        s = self.hires_scale
+        return s * xy + (s - 1) * 0.5 if self.hires else xy
 
     def keypoint_array(self, refined: np.ndarray, valid: np.ndarray):
         """One frame's keypoints + mask → the reference's (M, 3) float

@@ -242,3 +242,98 @@ def test_pose_video_cli_hires(tmp_path):
     main([str(frames), "--refinenet", rnp, "--rn-patch-size", "32",
           "--hires", "--ransac", "--batch", "2", "--out", out2])
     assert os.path.getsize(out2) > 0
+
+
+# ---------------------------------------------------------------------------
+# 4x tap (round 4): one more pooling octave, same contract composed twice
+# ---------------------------------------------------------------------------
+
+def test_downsample_composed_4x_coordinate_convention():
+    """Two 2x2 pools compose to x_hi = 4*x_lo + 1.5 on a linear ramp — the
+    mapping two_stage_forward_hires(scale=4) inverts."""
+    ramp = np.broadcast_to(np.arange(16, dtype=np.float32)[None, :],
+                           (8, 16)).reshape(1, 8, 16, 1)
+    r = np.asarray(downsample2x(downsample2x(jnp.asarray(ramp))))
+    np.testing.assert_allclose(r[0, 0, :, 0], 4 * np.arange(4) + 1.5)
+
+
+def test_hires_scale4_forward_shapes_and_units():
+    det = Detector(n_ids=N_IDS, dtype=jnp.float32)
+    rn = RefineNet(dtype=jnp.float32, patch_size=32, offset_head=True)
+    dv = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 1)))
+    rv = rn.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 1)))
+    frames_hi = np.random.default_rng(0).integers(
+        0, 255, (2, 192, 192), np.uint8)
+    kp, valid, refined = two_stage_forward_hires(
+        det, rn, dv, rv, frames_hi, N_IDS, rn_decode="avg", scale=4)
+    # detector grid is the 4x-pooled 48x48 view -> low-res units
+    assert kp.shape == (2, N_IDS, 2)
+    assert np.asarray(kp).max() < 48
+    assert np.isfinite(np.asarray(refined)).all()
+    assert np.asarray(refined).max() < 49
+
+
+def test_hires_rejects_unsupported_scale():
+    det = Detector(n_ids=N_IDS, dtype=jnp.float32)
+    rn = RefineNet(dtype=jnp.float32)
+    dv = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 1)))
+    rv = rn.init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 1)))
+    frames = np.zeros((1, 96, 96), np.uint8)
+    with pytest.raises(ValueError, match="scale 2 or 4"):
+        two_stage_forward_hires(det, rn, dv, rv, frames, N_IDS, scale=3)
+    from deepcharuco_tpu.pipeline import InferencePipeline
+    with pytest.raises(ValueError, match="True/2/4"):
+        InferencePipeline(default_config(), dv, rv, hires=3)
+
+
+def test_pipeline_hires_scale4_detect_and_input_coords():
+    """hires=4 product path: detect() takes 4x frames; input_coords maps
+    pooled-view units back by x_hi = 4*x_lo + 1.5."""
+    from deepcharuco_tpu.configs import default_config
+    from deepcharuco_tpu.pipeline import Camera, InferencePipeline
+
+    cfg = default_config()
+    det = Detector(n_ids=cfg.n_ids, dtype=jnp.float32)
+    rn = RefineNet(dtype=jnp.float32, patch_size=32, offset_head=True)
+    dv = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 1)))
+    rv = rn.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 1)))
+    w, h = cfg.input_size
+    cam = Camera(K=np.array([[1200.0, 0, 2 * w], [0, 1200.0, 2 * h],
+                             [0, 0, 1]], np.float32),
+                 dist=np.zeros(12, np.float32))
+    pipe = InferencePipeline(cfg, dv, rv, camera=cam, rn_patch_size=32,
+                             rn_decode="avg", compute_dtype=jnp.float32,
+                             hires=4)
+    frames_hi = np.random.default_rng(0).integers(
+        0, 255, (1, 4 * h, 4 * w), np.uint8)
+    kp, valid, refined = pipe.detect(frames_hi)
+    assert kp.shape == (1, cfg.n_ids, 2) and kp.max() < w  # low-res units
+    np.testing.assert_allclose(pipe.input_coords(np.array([[3.0, 5.0]])),
+                               [[13.5, 21.5]])
+    out = pipe.detect_with_pose(frames_hi)
+    assert len(out) == 7
+
+
+def test_camera_scaled_quarter_matches_composed_pool_convention():
+    """Camera.scaled(0.25) must land where the composed 4x pool contract
+    puts the projection: x_lo = (x_hi - 1.5)/4."""
+    from deepcharuco_tpu.pipeline import Camera
+
+    cam = Camera(K=np.array([[600.0, 0, 321.3], [0, 590.0, 237.9],
+                             [0, 0, 1]], np.float32),
+                 dist=np.zeros(12, np.float32))
+    lo = cam.scaled(0.25)
+    for X, Y, Z in [(0.1, -0.05, 1.0), (-0.2, 0.15, 2.0)]:
+        x_hi = cam.K[0, 0] * X / Z + cam.K[0, 2]
+        x_lo = lo.K[0, 0] * X / Z + lo.K[0, 2]
+        assert x_lo == pytest.approx((x_hi - 1.5) / 4, abs=1e-4)
+
+
+def test_eval_cli_hires_scale4(capsys):
+    from deepcharuco_tpu.cli.eval import main
+
+    out = main(["--samples", "16", "--source", "device", "--truth", "subpixel",
+                "--hires", "4", "--rn-patch-size", "32", "--rn-avg"])
+    captured = capsys.readouterr().out
+    assert "refined corner error" in captured
+    assert 0.0 <= out["recall"] <= 1.0
