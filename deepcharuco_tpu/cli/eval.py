@@ -72,6 +72,12 @@ def build_argparser():
                         "reselection by planar-homography consistency, incl. "
                         "loc-gate-override candidates (ops/geom.py) — "
                         "training-free recall/outlier gains, see BENCH_NOTES")
+    p.add_argument("--geom-fill", action="store_true",
+                   help="with --geom-decode: fill undetected in-frame ids at "
+                        "their homography-projected positions before "
+                        "refinement (ops.fill_from_homography) — the "
+                        "completeness mode; fills are refined by the same "
+                        "RefineNet pass")
     return p
 
 
@@ -109,6 +115,9 @@ def main(argv=None):
     if args.deepc is None:
         print("WARNING: random detector weights")
 
+    if args.geom_fill and not args.geom_decode:
+        raise SystemExit("--geom-fill requires --geom-decode")
+
     if args.geom_decode:
         from deepcharuco_tpu.board import inner_corner_object_points
         from deepcharuco_tpu.ops import pred_to_keypoints_geom
@@ -117,9 +126,16 @@ def main(argv=None):
             cfg.row_count, cfg.col_count, cfg.square_len)[:, :2])
 
         def decode(loc_hat, ids_hat):
-            return pred_to_keypoints_geom(loc_hat, ids_hat, cfg.n_ids,
-                                          board_xy,
-                                          min_margin=args.min_margin)
+            kp, v = pred_to_keypoints_geom(loc_hat, ids_hat, cfg.n_ids,
+                                           board_xy,
+                                           min_margin=args.min_margin)
+            if args.geom_fill:
+                from deepcharuco_tpu.ops import fill_from_homography
+
+                h, w = cfg.input_hw
+                kp, v, _ = jax.vmap(lambda k, m: fill_from_homography(
+                    k, m, board_xy, (h, w)))(kp, v)
+            return kp, v
     else:
         def decode(loc_hat, ids_hat):
             return pred_to_keypoints(loc_hat, ids_hat, cfg.n_ids,
@@ -163,6 +179,7 @@ def main(argv=None):
                                            min_margin=args.min_margin,
                                            rn_decode=hires_mode,
                                            geom_board_xy=gxy,
+                                           geom_fill=args.geom_fill,
                                            scale=args.hires)
 
     bs = 16

@@ -224,6 +224,21 @@ def test_eval_cli_geom_decode(capsys):
     assert out["recall"] >= 0.0
 
 
+def test_eval_cli_geom_fill(capsys):
+    """--geom-fill composes with --geom-decode through the eval CLI (fills
+    enter the recall count and are refined by the same RefineNet pass)."""
+    import pytest
+
+    from deepcharuco_tpu.cli.eval import main
+
+    out = main(["--samples", "16", "--source", "device", "--geom-decode",
+                "--geom-fill"])
+    assert "target corners" in capsys.readouterr().out
+    assert out["recall"] >= 0.0
+    with pytest.raises(SystemExit, match="geom-decode"):
+        main(["--samples", "16", "--geom-fill"])
+
+
 def test_pose_ignores_filled_corners():
     """full_forward with geom_fill must solve pose from measured detections
     only — identical rvec/tvec to the geom-only pipeline even though the
