@@ -99,34 +99,68 @@ def reselect_by_homography(kp_topk: jnp.ndarray, valid_topk: jnp.ndarray,
 
 def fill_from_homography(keypoints: jnp.ndarray, valid: jnp.ndarray,
                          board_xy: jnp.ndarray, frame_hw: tuple[int, int],
-                         min_points: int = 6):
+                         min_points: int = 6, max_rms_px: float = 1.5,
+                         min_spread_px: float = 3.0):
     """Predict the positions of UNDETECTED ids from the detected ones.
 
     The classical pipeline does exactly this: cv2.aruco's
     ``interpolateCornersCharuco`` / ``CharucoDetector.detectBoard`` project
     chessboard corners through the homography implied by the detected
     markers, then refine them locally (the classical baseline in
-    ``board.cv2_aruco_detect`` relies on that machinery internally). Here
-    the homography is refit from the (geometry-reselected) detected
-    corners, every invalid id inside the frame is filled at its projected
-    position, and the caller's RefineNet pass then refines filled and
-    detected corners identically — measured on the frontal probe the
-    filled corners end up as accurate as detected ones (0.65 vs 0.63 px
-    median, 100% within 3 px; BENCH_NOTES round 3).
+    ``board.cv2_aruco_detect`` relies on that machinery internally) — and,
+    like here, only when the marker fit is reliable. The homography is
+    refit from the (geometry-reselected) detected corners, every invalid id
+    inside the frame is filled at its projected position, and the caller's
+    RefineNet pass then refines filled and detected corners identically —
+    measured on the frontal probe the filled corners end up as accurate as
+    detected ones (0.65 vs 0.63 px median, 100% within 3 px; BENCH_NOTES
+    round 3).
+
+    Fit-quality gates (round 4): a homography interpolates reliably only
+    when it actually explains the detections it was fit to, and only when
+    those detections span a genuinely 2-D constellation — near-collinear
+    or tightly clustered points admit low-residual fits that extrapolate
+    arbitrarily badly (the measured 108-px fill outlier class,
+    BENCH_NOTES round-4 acceptance). Nothing is filled unless
+
+    * the masked RMS reprojection residual of the fit on the DETECTED
+      corners is ≤ ``max_rms_px`` (decoded corners sit ≲0.5 px from the
+      true plane on good frames, so 1.5 px separates healthy fits from
+      decoy-skewed ones), and
+    * the smaller principal std-dev of the detected constellation is
+      ≥ ``min_spread_px`` (the same degeneracy gate as the PnP solver,
+      ``pnp/solve.py``, with a stricter threshold because filling
+      *extrapolates* where PnP only scores).
 
     Returns (centers (n_ids, 2), valid_out (n_ids,), filled (n_ids,)):
     ``centers`` are integer-rounded patch centers (detected ids keep their
     decoded position), ``valid_out = valid | filled``. With fewer than
     ``min_points`` detections the homography is unreliable and nothing is
-    filled (negative frames stay at parity).
+    filled (negative frames stay at parity); a gated fit likewise fills
+    nothing but leaves the detected corners untouched.
     """
-    H = _dlt_homography(board_xy, keypoints, valid.astype(jnp.float32))
+    w_mask = valid.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(w_mask), 1.0)
+    H = _dlt_homography(board_xy, keypoints, w_mask)
     proj = _apply_homography(H, board_xy)
     h, w = frame_hw
     inb = ((proj[:, 0] >= 0) & (proj[:, 0] <= w - 1)
            & (proj[:, 1] >= 0) & (proj[:, 1] <= h - 1))
     enough = jnp.sum(valid) >= min_points
-    filled = (~valid) & inb & enough
+
+    resid2 = jnp.sum((proj - keypoints) ** 2, axis=-1)
+    rms = jnp.sqrt(jnp.sum(jnp.where(valid, resid2, 0.0)) / n)
+    mean_kp = jnp.sum(jnp.where(valid[:, None], keypoints, 0.0), axis=0) / n
+    cen = jnp.where(valid[:, None], keypoints - mean_kp, 0.0)
+    cxx = jnp.sum(cen[:, 0] * cen[:, 0]) / n
+    cyy = jnp.sum(cen[:, 1] * cen[:, 1]) / n
+    cxy = jnp.sum(cen[:, 0] * cen[:, 1]) / n
+    tr = cxx + cyy
+    det = cxx * cyy - cxy * cxy
+    min_eig = tr / 2.0 - jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
+    fit_ok = (rms <= max_rms_px) & (min_eig >= min_spread_px * min_spread_px)
+
+    filled = (~valid) & inb & enough & fit_ok
     centers = jnp.where(valid[:, None], keypoints, jnp.round(proj))
     return centers, valid | filled, filled
 

@@ -301,3 +301,50 @@ def test_hires_geom_fill_pipeline():
     assert kp.shape == (2, cfg.n_ids, 2)
     out = pipe.detect_with_pose(frames)
     assert len(out) == 7
+
+
+def test_fill_residual_gate_blocks_bad_fit():
+    """A homography that does not explain its own detections (decoy-skewed
+    fit) must fill NOTHING — the round-4 gate on the measured 108-px
+    extrapolation outlier class (BENCH_NOTES round-4 acceptance)."""
+    from deepcharuco_tpu.ops import fill_from_homography
+
+    bx, true_px, rng = _grid_and_true()
+    kp = np.round(true_px)
+    val = np.ones(N_IDS, bool)
+    val[7] = False
+    # four detections pulled 6-10 px off-plane: the fit's RMS residual on
+    # its own support blows past any healthy decode error
+    kp[[1, 4, 10, 14]] += rng.uniform(6, 10, (4, 2)).astype(np.float32)
+    _, v_out, filled = fill_from_homography(
+        jnp.asarray(kp), jnp.asarray(val), jnp.asarray(bx), (240, 320),
+        min_spread_px=0.0)
+    assert not np.asarray(filled).any()
+    np.testing.assert_array_equal(np.asarray(v_out), val)
+    # same frame, healthy detections: the fill fires
+    kp_ok = np.round(true_px)
+    _, _, f_ok = fill_from_homography(
+        jnp.asarray(kp_ok), jnp.asarray(val), jnp.asarray(bx), (240, 320),
+        min_spread_px=0.0)
+    assert np.asarray(f_ok)[7]
+
+
+def test_fill_spread_gate_blocks_degenerate_constellation():
+    """Near-collinear detections admit a low-residual fit that extrapolates
+    arbitrarily — the spread gate (min principal std-dev, the PnP degeneracy
+    gate) must block filling from them."""
+    from deepcharuco_tpu.ops import fill_from_homography
+
+    bx, _, rng = _grid_and_true()
+    kp = np.zeros((N_IDS, 2), np.float32)
+    val = np.zeros(N_IDS, bool)
+    # 8 detections on one image line (y jitter 0.2 px): min std-dev ~0
+    for j in range(8):
+        kp[j] = [30 + 18 * j,
+                 60 + float(rng.normal(0, 0.2))]
+        val[j] = True
+    _, v_out, filled = fill_from_homography(
+        jnp.asarray(kp), jnp.asarray(val), jnp.asarray(bx), (240, 320),
+        max_rms_px=1e9)
+    assert not np.asarray(filled).any()
+    np.testing.assert_array_equal(np.asarray(v_out), val)
