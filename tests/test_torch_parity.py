@@ -255,3 +255,84 @@ def test_lightning_prefix_stripping():
     sd2 = detector_state_dict_from_variables(variables2)
     for k in sd:
         np.testing.assert_array_equal(sd[k], sd2[k])
+
+
+# ---------------------------------------------------------------------------
+# Sentinel: REAL published checkpoints. The blobs named at
+# /root/reference/src/inference.py:101-102 are absent from the mount
+# (.MISSING_LARGE_BLOBS); these tests skip until they appear, then
+# automatically prove real-weight parity — converter + Flax forward vs the
+# reference's own torch modules carrying the same trained weights.
+# ---------------------------------------------------------------------------
+
+REF_CKPT_DIR = "/root/reference/src/reference"
+DEEPC_CKPT = f"{REF_CKPT_DIR}/longrun-epoch=99-step=369700.ckpt"
+REFINENET_CKPT = f"{REF_CKPT_DIR}/second-refinenet-epoch-100-step=373k.ckpt"
+
+
+def _real_ckpt(path):
+    import os
+
+    if not os.path.isfile(path):
+        pytest.skip(f"published checkpoint not in mount: {path} "
+                    "(.MISSING_LARGE_BLOBS)")
+    sd = torch.load(path, map_location="cpu")["state_dict"]
+    return {k[len("model."):] if k.startswith("model.") else k: v
+            for k, v in sd.items()
+            if not k.endswith("num_batches_tracked")}
+
+
+def test_real_detector_checkpoint_parity(rng, ref_modules):
+    net, _ = ref_modules
+    sd = {k: v.numpy() for k, v in _real_ckpt(DEEPC_CKPT).items()}
+    variables = detector_variables_from_torch(sd)
+    model = Detector(n_ids=16, dtype=jnp.float32)
+    x_nhwc = rng.normal(size=(2, 240, 320, 1)).astype(np.float32)
+    out = model.apply(variables, jnp.asarray(x_nhwc))
+    ref = _load_ref(net.dcModel(n_ids=16), sd)
+    with torch.no_grad():
+        out_t = ref(_t(x_nhwc.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(out["loc"]), out_t["loc"].numpy().transpose(0, 2, 3, 1),
+        atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["ids"]), out_t["ids"].numpy().transpose(0, 2, 3, 1),
+        atol=5e-4)
+
+
+def test_real_refinenet_checkpoint_parity(rng, ref_modules):
+    _, refinenet_mod = ref_modules
+    sd = {k: v.numpy() for k, v in _real_ckpt(REFINENET_CKPT).items()}
+    variables = refinenet_variables_from_torch(sd)
+    model = RefineNet(dtype=jnp.float32)
+    x_nhwc = rng.normal(size=(3, 24, 24, 1)).astype(np.float32)
+    out = model.apply(variables, jnp.asarray(x_nhwc))
+    ref = _load_ref(refinenet_mod.RefineNet(), sd)
+    with torch.no_grad():
+        heat_t = ref(_t(x_nhwc.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(out[..., 0]), heat_t.numpy()[:, 0],
+                               atol=5e-4)
+
+
+def test_real_checkpoints_end_to_end(tmp_path):
+    """With the published blobs present, the FULL pipeline must load them by
+    path (load_pipeline handles the Lightning pickle) and find the board on
+    the real benchmark photo (IMG_7412, reference inference demo)."""
+    import os
+
+    if not (os.path.isfile(DEEPC_CKPT) and os.path.isfile(REFINENET_CKPT)):
+        pytest.skip("published checkpoints not in mount (.MISSING_LARGE_BLOBS)")
+    import cv2
+
+    from deepcharuco_tpu.configs import default_config
+    from deepcharuco_tpu.pipeline import load_pipeline
+
+    cfg = default_config()
+    pipe = load_pipeline(cfg, DEEPC_CKPT, REFINENET_CKPT,
+                         compute_dtype=jnp.float32)
+    img = cv2.imread("/root/reference/src/reference/samples_test/IMG_7412.png")
+    if img is None:
+        pytest.skip("IMG_7412 not in mount")
+    img = cv2.resize(img, (320, 240))
+    kp, valid, refined = pipe.detect(img[None])
+    assert int(np.asarray(valid).sum()) >= 12
