@@ -34,6 +34,12 @@ def build_argparser():
     p.add_argument("--size", default=None,
                    help="override input resolution WxH (e.g. 640x480)")
     p.add_argument("--frames-per-stream", type=int, default=64)
+    p.add_argument("--stream-chunk", type=int, default=0,
+                   help="with --multi-stream: serve via DeviceQueueServer, "
+                        "uploading N steps per stream as one device-resident "
+                        "block and dispatching once per chunk (amortizes the "
+                        "tunnel RTT; adds N frame-intervals of latency). "
+                        "0 = per-step StreamServer")
     p.add_argument("--hires", nargs="?", type=int, const=2, default=0,
                    choices=[2, 4], metavar="SCALE",
                    help="hi-res patch tap: frames at SCALE× the config "
@@ -189,7 +195,8 @@ def main(argv=None):
         # double-buffered steps; results fetched by the server itself —
         # honest completion by construction).
         from deepcharuco_tpu.pipeline import InferencePipeline
-        from deepcharuco_tpu.serving import StreamServer, VideoStream
+        from deepcharuco_tpu.serving import (DeviceQueueServer, StreamServer,
+                                             VideoStream)
 
         pipe = InferencePipeline(cfg, dv, rv,
                                  rn_patch_size=args.rn_patch_size,
@@ -203,14 +210,21 @@ def main(argv=None):
                 yield np.clip(frame.astype(np.int16) + noise + sid,
                               0, 255).astype(np.uint8)
 
+        def make_server(streams):
+            if args.stream_chunk > 0:
+                return DeviceQueueServer(pipe, streams,
+                                         chunk=args.stream_chunk)
+            return StreamServer(pipe, streams)
+
         streams = [VideoStream(stream_frames(s), name=f"s{s}")
                    for s in range(args.multi_stream)]
-        server = StreamServer(pipe, streams)
+        server = make_server(streams)
         # warmup: a throwaway server at the SAME stream count (= same batch
         # shape = same executable) compiles the program outside the timing
-        warm = [VideoStream(iter([frame]), name="warm")
+        warm_frames = max(1, args.stream_chunk)
+        warm = [VideoStream(iter([frame] * warm_frames), name="warm")
                 for _ in range(args.multi_stream)]
-        for _ in StreamServer(pipe, warm).run():
+        for _ in make_server(warm).run():
             pass
         n_frames = 0
         lat = []
@@ -222,13 +236,22 @@ def main(argv=None):
             t_prev = now
             n_frames += len(results)
         dt = time.perf_counter() - t0
-        lat_ms = 1000 * np.median(lat)
         h, w = frame.shape[:2]
+        if args.stream_chunk > 0:
+            # steps inside a fetched chunk yield back-to-back; the honest
+            # latency figure is the chunk boundary (p95), not the median
+            lat_txt = (f"chunk-boundary latency "
+                       f"{1000 * float(np.percentile(lat, 95)):.1f} ms "
+                       f"(+{args.stream_chunk} frame-intervals queueing)")
+            mode = f" (device-queue chunk={args.stream_chunk})"
+        else:
+            lat_txt = f"median step latency {1000 * np.median(lat):.1f} ms"
+            mode = ""
         print(f"multi-stream: {args.multi_stream} streams @ {w}x{h}"
-              f"{' (hires tap)' if args.hires else ''}: "
+              f"{' (hires tap)' if args.hires else ''}{mode}: "
               f"{n_frames / dt:.1f} fps aggregate "
               f"({n_frames / dt / args.multi_stream:.1f} fps/stream), "
-              f"median step latency {lat_ms:.1f} ms")
+              f"{lat_txt}")
         return
     frames = np.broadcast_to(frame, (args.batch, *frame.shape)).copy()
     x = jnp.asarray(frames)

@@ -11,8 +11,10 @@ independent video streams through the fused pipeline with:
 - **per-resolution executables** — streams are grouped by (H, W); each group
   gets one jitted program (XLA requires static shapes).
 
-Use :class:`StreamServer` for a pull loop over frame sources, or
-:func:`pipelined_map` for a simple pipelined iterator over pre-batched frames.
+Use :class:`StreamServer` for a latency-first pull loop over frame sources,
+:class:`DeviceQueueServer` for throughput-first chunked serving over a
+high-latency link, or :func:`pipelined_map` for a simple pipelined iterator
+over pre-batched frames.
 """
 
 from __future__ import annotations
@@ -139,3 +141,105 @@ class StreamServer:
                              tvec=host[5][row], reproj_rms=host[6][row])
                 results[stream_idx] = r
             yield results
+
+
+class DeviceQueueServer:
+    """Chunked multi-stream serving: device-resident frame queues.
+
+    The per-step :class:`StreamServer` pays one dispatch round-trip per
+    B-frame batch; over a high-latency link (the axon tunnel measures
+    ~135 ms RTT) that round-trip, not compute, bounds aggregate throughput
+    at small B. This server amortizes it: it gathers ``chunk`` consecutive
+    frames from every stream into one ``[chunk*B, H, W]`` host block,
+    uploads the block as a single transfer, runs ONE fused dispatch over
+    the whole block, and double-buffers chunks (chunk k+1 is uploading and
+    computing while chunk k's results are fetched). Throughput approaches
+    the batch-amortized figure at batch ``chunk*B``; the price is
+    ``chunk`` frame-intervals of added latency, so pick ``chunk`` by the
+    stream's latency budget (chunk=8 at 30 fps adds ~270 ms).
+
+    Yields the same per-step ``{stream_index: result}`` dicts as
+    :class:`StreamServer.run`, in the same order.
+
+    Reference analogue being beaten: the strictly per-frame loop at
+    ``src/pose_estimation.py:52-66``.
+    """
+
+    def __init__(self, pipeline, streams: Sequence[VideoStream],
+                 chunk: int = 8, with_pose: bool = False):
+        import jax
+
+        if chunk < 1:
+            raise ValueError(f"chunk must be >= 1, got {chunk}")
+        self.pipeline = pipeline
+        self.streams = list(streams)
+        self.chunk = chunk
+        self.with_pose = with_pose
+        self.capacity = len(self.streams)
+        self._jax = jax
+
+    def _gather_chunk(self):
+        """Collect up to ``chunk`` per-step batches; pad to a full chunk so
+        one executable (batch = chunk * capacity) serves the entire run."""
+        steps: List[Tuple[np.ndarray, List[int]]] = []
+        for _ in range(self.chunk):
+            frames, idxs = [], []
+            for i, s in enumerate(self.streams):
+                f = s.next_frame()
+                if f is not None:
+                    frames.append(f)
+                    idxs.append(i)
+            if not frames:
+                break
+            batch = np.stack(frames)
+            if batch.shape[0] < self.capacity:
+                pad = np.zeros(
+                    (self.capacity - batch.shape[0], *batch.shape[1:]),
+                    batch.dtype)
+                batch = np.concatenate([batch, pad])
+            steps.append((batch, idxs))
+        if not steps:
+            return None, None
+        block = np.stack([b for b, _ in steps])  # [n_steps, B, ...]
+        if block.shape[0] < self.chunk:          # pad trailing zero-steps
+            pad = np.zeros((self.chunk - block.shape[0], *block.shape[1:]),
+                           block.dtype)
+            block = np.concatenate([block, pad])
+        return block.reshape(self.chunk * self.capacity, *block.shape[2:]), \
+            [idxs for _, idxs in steps]
+
+    def _launch(self):
+        block, step_idxs = self._gather_chunk()
+        if block is None:
+            return None
+        x = self._jax.device_put(block)  # one async upload per chunk
+        if self.with_pose:
+            out = self.pipeline._full(self.pipeline.det_vars,
+                                      self.pipeline.rn_vars, x)
+        else:
+            out = self.pipeline._two_stage(self.pipeline.det_vars,
+                                           self.pipeline.rn_vars, x)
+        return step_idxs, out
+
+    def run(self) -> Iterator[Dict[int, dict]]:
+        pending = self._launch()
+        while pending is not None:
+            step_idxs, out = pending
+            pending = self._launch()  # next chunk in flight during fetch
+            host = [np.asarray(o) for o in out]
+            for step, idxs in enumerate(step_idxs):
+                base = step * self.capacity
+                results: Dict[int, dict] = {}
+                for row, stream_idx in enumerate(idxs):
+                    r = {
+                        "keypoints": host[0][base + row],
+                        "valid": host[1][base + row],
+                        "refined": host[2][base + row],
+                    }
+                    if self.with_pose:
+                        r.update(ok=host[3][base + row],
+                                 rvec=host[4][base + row],
+                                 tvec=host[5][base + row],
+                                 reproj_rms=host[6][base + row])
+                    results[stream_idx] = r
+                yield results

@@ -7,7 +7,8 @@ import jax.numpy as jnp
 from deepcharuco_tpu.configs import default_config
 from deepcharuco_tpu.models import Detector, RefineNet
 from deepcharuco_tpu.pipeline import Camera, InferencePipeline
-from deepcharuco_tpu.serving import StreamServer, VideoStream, pipelined_map
+from deepcharuco_tpu.serving import (DeviceQueueServer, StreamServer,
+                                     VideoStream, pipelined_map)
 
 CFG = default_config()
 
@@ -49,6 +50,40 @@ def test_stream_server_multi_stream(rng):
             assert r["keypoints"].shape == (16, 2)
             assert r["valid"].shape == (16,)
     assert per_stream_counts == n_frames  # every frame of every stream served
+
+
+def test_device_queue_server_matches_stream_server(rng):
+    """Chunked device-queue serving yields the SAME per-step results as the
+    per-step server: same steps, same stream indices, same values — on
+    uneven stream lengths that exercise both padding paths (short batch
+    inside a chunk, trailing partial chunk)."""
+    pipe = _pipe()
+    n_frames = [5, 3, 1]
+    frames = [[rng.integers(0, 255, (240, 320, 3)).astype(np.uint8)
+               for _ in range(n)] for n in n_frames]
+
+    def make_streams():
+        return [VideoStream(iter(f), name=f"s{i}")
+                for i, f in enumerate(frames)]
+
+    ref_steps = list(StreamServer(pipe, make_streams()).run())
+    dq_steps = list(DeviceQueueServer(pipe, make_streams(), chunk=2).run())
+    assert len(dq_steps) == len(ref_steps) == 5
+    for ref, dq in zip(ref_steps, dq_steps):
+        assert set(ref) == set(dq)
+        for idx in ref:
+            for k in ("keypoints", "valid", "refined"):
+                np.testing.assert_array_equal(ref[idx][k], dq[idx][k])
+
+
+def test_device_queue_server_with_pose(rng):
+    pipe = _pipe(with_camera=True)
+    streams = [VideoStream((np.zeros((240, 320, 3), np.uint8)
+                            for _ in range(3)))]
+    server = DeviceQueueServer(pipe, streams, chunk=4, with_pose=True)
+    steps = list(server.run())
+    assert len(steps) == 3
+    assert "rvec" in steps[0][0] and steps[0][0]["rvec"].shape == (3,)
 
 
 def test_stream_server_with_pose(rng):
