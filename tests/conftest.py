@@ -26,6 +26,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Default run = fast subset (<10 min on the 1-core host). The tests
+    marked ``slow`` (long device-synth/train/CLI integration runs) need
+    ``RUN_SLOW=1 python -m pytest tests/ -q`` — the documented full suite."""
+    if os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow: run with RUN_SLOW=1 for full suite")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

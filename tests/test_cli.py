@@ -237,3 +237,15 @@ def test_eval_cli_rn_avg_decode(capsys):
     captured = capsys.readouterr().out
     assert "refined corner error" in captured
     assert 0.0 <= out["recall"] <= 1.0
+
+
+def test_view_cli_dataset_grid(tmp_path):
+    """Grid viewer (reference GridWindow flows, src/data.py:77-86): one
+    dataset contact-sheet page renders and lands on disk."""
+    from deepcharuco_tpu.cli.view import main
+
+    out = str(tmp_path / "grid")
+    main(["--what", "dataset", "--n", "2", "--cols", "2", "--pages", "1",
+          "--out", out, "--validation"])
+    img = cv2.imread(out + "_p0.png")
+    assert img is not None and img.shape[0] > 100
