@@ -43,7 +43,8 @@ def _apply_homography(H: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
 
 def reselect_by_homography(kp_topk: jnp.ndarray, valid_topk: jnp.ndarray,
                            board_xy: jnp.ndarray, tol_px: float = 4.0,
-                           iters: int = 3, min_points: int = 6):
+                           iters: int = 3, min_points: int = 6,
+                           max_rms_px: float = 1.5):
     """One frame: choose, per id, the candidate consistent with the board.
 
     Parameters
@@ -60,6 +61,21 @@ def reselect_by_homography(kp_topk: jnp.ndarray, valid_topk: jnp.ndarray,
     min_points : below this many top-1 detections the homography is
         unreliable — return the plain top-1 decode unchanged (also keeps
         negative/no-board frames at exact parity).
+    max_rms_px : self-consistency gate on the FINAL selection (round 4).
+        Eligibility inside the loop tests candidates against the H fit to
+        the *previous* selection, so a churning fit can terminate with a
+        selection that no single homography explains — measured on the
+        512-sample host stream as decoy constellations with refit RMS
+        4.8–60 px blessing errors up to 46 px. One extra fit to the final
+        selection catches exactly this: if its masked RMS exceeds
+        ``max_rms_px`` the frame falls back to the parity decode (healthy
+        frames measure ≲0.5 px, so parity behavior is otherwise
+        unchanged). Note the gate is a *do-no-harm* guard, not an outlier
+        remover: on the measured 512-sample stream every churned-fit frame
+        happened to re-select exactly the parity decode
+        (scripts/check_gate_noop.py), so the fallback is a no-op there —
+        it exists for the case where churn OVERRIDES a good parity decode
+        (unit-tested in test_geom_decode).
 
     Returns
     -------
@@ -89,8 +105,16 @@ def reselect_by_homography(kp_topk: jnp.ndarray, valid_topk: jnp.ndarray,
 
     # A degenerate fit (near-collinear detections, garbage H) manifests as
     # an (almost) empty consistent set — fall back to the parity decode
-    # rather than dropping real detections on a bad fit.
-    fit_ok = jnp.sum(any_elig) >= min_points
+    # rather than dropping real detections on a bad fit. A *churned* fit
+    # (decoy constellation) manifests as a final selection no single
+    # homography explains — refit once and gate on the residual.
+    H = _dlt_homography(board_xy, sel, w)
+    proj = _apply_homography(H, board_xy)
+    resid2 = jnp.sum((proj - sel) ** 2, axis=-1)
+    n_sel = jnp.maximum(jnp.sum(w), 1.0)
+    rms = jnp.sqrt(jnp.sum(jnp.where(any_elig, resid2, 0.0)) / n_sel)
+    fit_ok = ((jnp.sum(any_elig) >= min_points)
+              & jnp.isfinite(rms) & (rms <= max_rms_px))
     use = enough & fit_ok
     keypoints = jnp.where(use, jnp.where(any_elig[:, None], sel, sel0), sel0)
     valid = jnp.where(use, any_elig, val0)
@@ -171,7 +195,8 @@ def pred_to_keypoints_geom(loc_hat: jnp.ndarray, ids_hat: jnp.ndarray,
                            iters: int = 3, min_points: int = 6,
                            min_margin: float | None = None,
                            loc_override: bool = True,
-                           override_capacity: int = 2):
+                           override_capacity: int = 2,
+                           max_rms_px: float = 1.5):
     """Batched heads → geometry-reselected single-slot keypoints.
 
     Drop-in shape-compatible with ``pred_to_keypoints`` ((N, n_ids, 2),
@@ -211,5 +236,6 @@ def pred_to_keypoints_geom(loc_hat: jnp.ndarray, ids_hat: jnp.ndarray,
         val_k = jnp.concatenate([val_k, val_o], axis=2)
     fn = lambda kp, va: reselect_by_homography(kp, va, board_xy,
                                                tol_px=tol_px, iters=iters,
-                                               min_points=min_points)
+                                               min_points=min_points,
+                                               max_rms_px=max_rms_px)
     return jax.vmap(fn)(kp_k, val_k)

@@ -348,3 +348,37 @@ def test_fill_spread_gate_blocks_degenerate_constellation():
         max_rms_px=1e9)
     assert not np.asarray(filled).any()
     np.testing.assert_array_equal(np.asarray(v_out), val)
+
+
+def test_reselect_self_consistency_gate_falls_back_to_parity():
+    """Round-4 gate: a final selection no single homography explains (refit
+    RMS above ``max_rms_px``) must NOT be trusted — the frame falls back to
+    the parity decode. Measured in the wild as decoy constellations with
+    refit RMS 4.8-60 px admitting up to 46-px errors (host stream,
+    scripts/debug_fill_outliers.py)."""
+    bx, true_px, rng = _grid_and_true()
+    C = 2
+    kp = np.zeros((N_IDS, C, 2), np.float32)
+    val = np.zeros((N_IDS, C), bool)
+    kp[:, 0] = true_px
+    val[:, 0] = True
+    # a third of the constellation rides a DIFFERENT (shifted+sheared)
+    # plane: individually plausible, jointly inconsistent
+    bad = [1, 3, 6, 10, 13]
+    for i, b in enumerate(bad):
+        kp[b, 0] = true_px[b] + np.array([7.0 - 3 * i, 5.0 + 2 * i],
+                                         np.float32)
+
+    # iters=1 + generous tol: every candidate stays eligible, so the loop
+    # cannot trim the bad points — only the final-refit gate can catch it
+    run = lambda gate: jax.jit(lambda a, b: reselect_by_homography(
+        a, b, jnp.asarray(bx), tol_px=16.0, iters=1,
+        max_rms_px=gate))(jnp.asarray(kp), jnp.asarray(val))
+
+    kp_g, v_g = run(jnp.inf)
+    assert np.asarray(v_g).sum() == N_IDS  # ungated: all kept (bad fit wins)
+
+    kp_s, v_s = run(1.5)
+    # gated: exact parity fallback — same positions, same validity
+    np.testing.assert_array_equal(np.asarray(v_s), val[:, 0])
+    np.testing.assert_array_equal(np.asarray(kp_s), kp[:, 0])
