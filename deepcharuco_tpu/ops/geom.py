@@ -12,11 +12,13 @@ a full board cell (≥8 px) away from their id's true position.
 
 ``reselect_by_homography`` runs the duplicate-preserving capacity-K decode
 (``decode.pred_to_keypoints_topk``), robustly fits a plane→image homography
-to the top-1 selections (masked DLT + fixed trim-refit iterations — IRLS
-with 0/1 weights), then per id selects the highest-score candidate whose
-reprojection sits within ``tol_px`` of the homography prediction. Ids with
-no consistent candidate decode as invalid — which also rejects confident
-decoys for corners that are actually outside the frame.
+(a fixed-shape RANSAC over 4-candidate subsets seeds fixed trim-refit
+iterations — IRLS with 0/1 weights), then per id selects the highest-score
+candidate whose reprojection sits within ``tol_px`` of the homography
+prediction. Ids with no consistent candidate decode as invalid — which
+also rejects confident decoys for corners that are actually outside the
+frame. A refit-RMS self-consistency gate falls the frame back to the
+parity decode when no single homography explains the final selection.
 
 Everything is fixed-shape (n_ids × capacity candidates, unrolled
 iterations) — XLA-friendly, no data-dependent control flow. The mode is
@@ -41,10 +43,69 @@ def _apply_homography(H: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     return p[:, :2] / jnp.where(jnp.abs(p[:, 2:]) > 1e-9, p[:, 2:], 1e-9)
 
 
+def _ransac_seed(kp_topk: jnp.ndarray, valid_topk: jnp.ndarray,
+                 board_xy: jnp.ndarray, n_subsets: int, tol: float):
+    """Consensus-best homography from minimal 4-id subsets (fixed shape).
+
+    The all-points DLT that seeds the trim-refit loop is a *least-squares*
+    fit: a handful of confident decoys (a full board cell off the true
+    plane) pull it far enough that the loop converges onto the decoy
+    constellation instead of trimming it — measured on the 512-sample host
+    stream as frames where the "reselected" output simply blesses the
+    parity decode's wrong cells (scripts/check_gate_noop.py). Classical
+    RANSAC is the textbook fix; this is its XLA form: ``n_subsets`` Gumbel
+    top-4 draws of distinct ids that have ANY valid candidate, each paired
+    with a uniformly-drawn valid slot (fixed PRNG key — the decode stays
+    deterministic), an exact 4-point DLT per subset (vmapped — the 9×9
+    eigenvector solve is unrolled, so the whole seed is one batched matmul
+    bundle, no data-dependent control flow), and consensus counted per id
+    as ANY candidate within ``tol`` of the subset's projection.
+
+    Sampling ALL slots — not just top-1 — matters twice over (measured,
+    scripts/probe_lowdet_frames.py): displaced true corners that lost
+    slot 0 and loc-gate-override candidates can SEED the fit, so a frame
+    whose top-1 set is sparse or decoy-ridden (host frame 138: four
+    near-collinear top-1 cells but ~10 true corners in override slots)
+    still reaches the true plane; and they VOTE, so the true plane
+    out-scores a decoy plane even when the top-1 sets tie. Degenerate
+    subsets (collinear points, NaN H) score zero inliers and are never
+    picked. Returns (H_best, n_inliers_best).
+    """
+    n_ids = kp_topk.shape[0]
+    any_val = jnp.any(valid_topk, axis=-1)
+    keys = jax.random.split(jax.random.PRNGKey(0), n_subsets)
+
+    def sample4(k):
+        k1, k2 = jax.random.split(k)
+        g = jax.random.gumbel(k1, (n_ids,)) + jnp.where(any_val, 0.0, -1e9)
+        i4 = jax.lax.top_k(g, 4)[1].astype(jnp.int32)
+        gs = (jax.random.gumbel(k2, valid_topk.shape)
+              + jnp.where(valid_topk, 0.0, -1e9))
+        s4 = jnp.argmax(gs, axis=-1).astype(jnp.int32)[i4]
+        return i4, s4
+
+    ids4, slot4 = jax.vmap(sample4)(keys)                # (S, 4) each
+    ones4 = jnp.ones(4, jnp.float32)
+    Hs = jax.vmap(lambda i4, s4: _dlt_homography(
+        board_xy[i4], kp_topk[i4, s4], ones4))(ids4, slot4)   # (S, 3, 3)
+    proj = jax.vmap(lambda H: _apply_homography(H, board_xy))(Hs)
+    d = jnp.linalg.norm(kp_topk[None] - proj[:, :, None, :],
+                        axis=-1)                         # (S, n_ids, C)
+    dmin = jnp.min(jnp.where(valid_topk[None], d, jnp.inf), axis=-1)
+    dmin = jnp.where(jnp.isfinite(dmin), dmin, 1e9)      # NaN/degenerate → far
+    inl = dmin <= tol                                    # (S, n_ids)
+    # consensus first, mean inlier residual as the tie-break
+    score = (jnp.sum(inl, axis=-1).astype(jnp.float32)
+             - 1e-3 * jnp.sum(jnp.minimum(dmin, tol), axis=-1) / tol)
+    best = jnp.argmax(score)
+    return Hs[best], jnp.sum(inl[best])
+
+
 def reselect_by_homography(kp_topk: jnp.ndarray, valid_topk: jnp.ndarray,
                            board_xy: jnp.ndarray, tol_px: float = 4.0,
                            iters: int = 3, min_points: int = 6,
-                           max_rms_px: float = 1.5):
+                           max_rms_px: float = 1.5,
+                           ransac_subsets: int = 64):
     """One frame: choose, per id, the candidate consistent with the board.
 
     Parameters
@@ -76,6 +137,10 @@ def reselect_by_homography(kp_topk: jnp.ndarray, valid_topk: jnp.ndarray,
         (scripts/check_gate_noop.py), so the fallback is a no-op there —
         it exists for the case where churn OVERRIDES a good parity decode
         (unit-tested in test_geom_decode).
+    ransac_subsets : seed the trim-refit loop with the consensus-best
+        4-point homography (:func:`_ransac_seed`) instead of the
+        decoy-sensitive all-points least-squares fit. 0 restores the
+        round-3 seeding.
 
     Returns
     -------
@@ -83,15 +148,26 @@ def reselect_by_homography(kp_topk: jnp.ndarray, valid_topk: jnp.ndarray,
     """
     sel0 = kp_topk[:, 0]
     val0 = valid_topk[:, 0]
-    enough = jnp.sum(val0) >= min_points
+    # count ids with ANY candidate (round 4; was top-1 only): a frame whose
+    # top-1 set is sparse can still carry a fittable constellation in its
+    # lower/override slots (host frame 138: 4 near-collinear top-1 cells,
+    # ~10 true corners in override slots — scripts/probe_lowdet_frames.py).
+    # Negative frames are kept at parity by the CONSISTENCY acceptance
+    # below (≥min_points ids within tol of one plane, refit RMS ≤
+    # max_rms_px), which spurious candidates essentially never satisfy.
+    enough = jnp.sum(jnp.any(valid_topk, axis=-1)) >= min_points
 
     sel, w = sel0, val0.astype(jnp.float32)
     any_elig = val0
+    if ransac_subsets:
+        H_seed, _ = _ransac_seed(kp_topk, valid_topk, board_xy,
+                                 ransac_subsets, tol_px)
     # annealed tolerances: generous while the fit still contains decoys,
     # `tol_px` on the last round
     tols = [tol_px * (2.0 ** (iters - 1 - k)) for k in range(iters)]
-    for tol in tols:
-        H = _dlt_homography(board_xy, sel, w)
+    for k, tol in enumerate(tols):
+        H = (H_seed if (k == 0 and ransac_subsets)
+             else _dlt_homography(board_xy, sel, w))
         proj = _apply_homography(H, board_xy)              # (n_ids, 2)
         d = jnp.linalg.norm(kp_topk - proj[:, None, :], axis=-1)
         eligible = valid_topk & (d <= tol)                 # (n_ids, C)
@@ -123,8 +199,9 @@ def reselect_by_homography(kp_topk: jnp.ndarray, valid_topk: jnp.ndarray,
 
 def fill_from_homography(keypoints: jnp.ndarray, valid: jnp.ndarray,
                          board_xy: jnp.ndarray, frame_hw: tuple[int, int],
-                         min_points: int = 6, max_rms_px: float = 1.5,
-                         min_spread_px: float = 3.0):
+                         min_points: int = 8, max_rms_px: float = 1.5,
+                         min_spread_px: float = 3.0,
+                         max_mahal: float = 3.0):
     """Predict the positions of UNDETECTED ids from the detected ones.
 
     The classical pipeline does exactly this: cv2.aruco's
@@ -154,14 +231,27 @@ def fill_from_homography(keypoints: jnp.ndarray, valid: jnp.ndarray,
     * the smaller principal std-dev of the detected constellation is
       ≥ ``min_spread_px`` (the same degeneracy gate as the PnP solver,
       ``pnp/solve.py``, with a stricter threshold because filling
-      *extrapolates* where PnP only scores).
+      *extrapolates* where PnP only scores), and
+    * per id, the projected position sits within ``max_mahal`` standard
+      deviations (Mahalanobis, under the detected constellation's
+      covariance) of the constellation centroid (round 4). A healthy
+      mostly-detected board puts every in-board hole at ≲2σ; fills
+      farther out are extrapolations whose error grows with leverage —
+      the measured device-stream tail (raw fills to 7.5 px once the
+      RANSAC seed let sparse-top-1 frames fill at all) lives there.
 
     Returns (centers (n_ids, 2), valid_out (n_ids,), filled (n_ids,)):
     ``centers`` are integer-rounded patch centers (detected ids keep their
     decoded position), ``valid_out = valid | filled``. With fewer than
     ``min_points`` detections the homography is unreliable and nothing is
     filled (negative frames stay at parity); a gated fit likewise fills
-    nothing but leaves the detected corners untouched.
+    nothing but leaves the detected corners untouched. ``min_points``
+    defaults HIGHER than the reselection's floor (8 vs 6): filling
+    extrapolates where reselection only arbitrates between existing
+    candidates, and the measured 6-7-point fits that pass the RMS/spread
+    gates still land fills up to 7.5 px off (512-sample device stream);
+    at ≥8 the same stream fills with a 0.000% >3 px rate while frontal
+    completeness (1.000, every probe frame) is unaffected.
     """
     w_mask = valid.astype(jnp.float32)
     n = jnp.maximum(jnp.sum(w_mask), 1.0)
@@ -184,7 +274,15 @@ def fill_from_homography(keypoints: jnp.ndarray, valid: jnp.ndarray,
     min_eig = tr / 2.0 - jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
     fit_ok = (rms <= max_rms_px) & (min_eig >= min_spread_px * min_spread_px)
 
-    filled = (~valid) & inb & enough & fit_ok
+    # extrapolation-leverage gate: Mahalanobis distance of each projected
+    # position under the detected constellation's covariance
+    dp = proj - mean_kp
+    safe_det = jnp.where(jnp.abs(det) > 1e-9, det, 1e-9)
+    mahal2 = (dp[:, 0] * (cyy * dp[:, 0] - cxy * dp[:, 1])
+              + dp[:, 1] * (cxx * dp[:, 1] - cxy * dp[:, 0])) / safe_det
+    near = mahal2 <= max_mahal * max_mahal
+
+    filled = (~valid) & inb & enough & fit_ok & near
     centers = jnp.where(valid[:, None], keypoints, jnp.round(proj))
     return centers, valid | filled, filled
 
@@ -196,7 +294,8 @@ def pred_to_keypoints_geom(loc_hat: jnp.ndarray, ids_hat: jnp.ndarray,
                            min_margin: float | None = None,
                            loc_override: bool = True,
                            override_capacity: int = 2,
-                           max_rms_px: float = 1.5):
+                           max_rms_px: float = 1.5,
+                           ransac_subsets: int = 64):
     """Batched heads → geometry-reselected single-slot keypoints.
 
     Drop-in shape-compatible with ``pred_to_keypoints`` ((N, n_ids, 2),
@@ -237,5 +336,6 @@ def pred_to_keypoints_geom(loc_hat: jnp.ndarray, ids_hat: jnp.ndarray,
     fn = lambda kp, va: reselect_by_homography(kp, va, board_xy,
                                                tol_px=tol_px, iters=iters,
                                                min_points=min_points,
-                                               max_rms_px=max_rms_px)
+                                               max_rms_px=max_rms_px,
+                                               ransac_subsets=ransac_subsets)
     return jax.vmap(fn)(kp_k, val_k)

@@ -15,7 +15,10 @@ Usage: python scripts/eval_round3.py <detector.npz-or-ckpt-name> [--samples N]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):

@@ -5,6 +5,11 @@ shipped ``artifacts/*.npz`` change; mirrors ``tests/test_golden.py`` exactly.
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import os
 
 import numpy as np
 import jax

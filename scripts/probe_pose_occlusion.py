@@ -8,6 +8,11 @@ with PYTHONPATH=.).
 
 Measured 2026-08-18: plain p90 rvec 1.11 rad / tvec 13.6 mm; geom (and
 geom+fill, which must match exactly) p90 0.062 rad / 2.9 mm."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax; jax.config.update("jax_platforms", "cpu")
 import numpy as np, cv2
 from deepcharuco_tpu.configs import default_config

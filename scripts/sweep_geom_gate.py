@@ -25,6 +25,14 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--gates", type=float, nargs="+",
                     default=[float("inf"), 2.0, 1.5, 1.0, 0.75])
+    ap.add_argument("--ransac", type=int, nargs="+", default=[0],
+                    help="ransac_subsets values to sweep (0 = ls seed)")
+    ap.add_argument("--min-points", type=int, nargs="+", default=[6],
+                    help="reselect min_points values to sweep")
+    ap.add_argument("--mahal", type=float, nargs="+", default=[3.0],
+                    help="fill max_mahal values to sweep")
+    ap.add_argument("--fill-min-points", type=int, default=6,
+                    help="fill min_points (detection floor for filling)")
     args = ap.parse_args(argv)
 
     import jax
@@ -96,10 +104,21 @@ def main(argv=None):
             images, _, _, kpts, vis = dev_full(jax.random.PRNGKey(j))
             yield images, kpts, vis
 
-    print("caching host / frontal / device streams + photo...", flush=True)
+    neg = DeviceSynthesizer(cfg, negative_p=1.0)
+    neg_full = jax.jit(lambda key: jax.vmap(neg._sample_full)(
+        jax.random.split(key, bs)))
+
+    def negative_batches():
+        for j in range(max(1, nb // 4)):
+            images, _, _, kpts, vis = neg_full(jax.random.PRNGKey(900 + j))
+            yield images, kpts, jnp.zeros_like(vis)
+
+    print("caching host / frontal / device / negative streams + photo...",
+          flush=True)
     host = cache(host_batches())
     frontal = cache(frontal_batches())
     device = cache(device_batches())
+    negative = cache(negative_batches())
 
     img_heads = None
     img_path = "/root/reference/src/reference/samples_test/IMG_7412.png"
@@ -112,13 +131,16 @@ def main(argv=None):
         out = heads(normalize_gray(jnp.asarray(g[None])))
         img_heads = (np.asarray(out["loc"]), np.asarray(out["ids"]))
 
-    def decode(cached_heads, gate, fill):
+    def decode(cached_heads, gate, fill, ransac=0, min_points=6, mahal=3.0):
         loc, ids = cached_heads
         kp, v = pred_to_keypoints_geom(jnp.asarray(loc), jnp.asarray(ids),
-                                       cfg.n_ids, board_xy, max_rms_px=gate)
+                                       cfg.n_ids, board_xy, max_rms_px=gate,
+                                       ransac_subsets=ransac,
+                                       min_points=min_points)
         if fill:
             kp, v, _ = jax.vmap(lambda k, m: fill_from_homography(
-                k, m, board_xy, (h, w)))(kp, v)
+                k, m, board_xy, (h, w), max_mahal=mahal,
+                min_points=args.fill_min_points))(kp, v)
         return np.asarray(kp), np.asarray(v)
 
     def score(cached, kp, v, per_frame_target=None):
@@ -143,23 +165,35 @@ def main(argv=None):
     print("host   :", score(host, *parity(host[:2])))
     print("frontal:", score(frontal, *parity(frontal[:2]), per_frame_target=14))
     print("device :", score(device, *parity(device[:2])))
+    _, v_np = parity(negative[:2])
+    print("negativ: false-valid", int(v_np.sum()), "corners on",
+          negative[2].shape[0], "board-free frames")
     if img_heads is not None:
         _, v = parity(img_heads)
         print("photo  :", int(v.sum()), "/16")
 
-    for gate in args.gates:
-        for fill in (False, True):
-            tag = f"rms≤{gate:g}" + (" +fill" if fill else "      ")
-            print(f"\n--- geom {tag} ---", flush=True)
-            kp, v = decode(host[:2], gate, fill)
-            print("host   :", score(host, kp, v))
-            kp, v = decode(frontal[:2], gate, fill)
-            print("frontal:", score(frontal, kp, v, per_frame_target=14))
-            kp, v = decode(device[:2], gate, fill)
-            print("device :", score(device, kp, v))
-            if img_heads is not None:
-                _, v = decode(img_heads, gate, fill)
-                print("photo  :", int(v.sum()), "/16", flush=True)
+    fills = [(False, args.mahal[0])] + [(True, m) for m in args.mahal]
+    for ransac in args.ransac:
+        for mp in args.min_points:
+            for gate in args.gates:
+                for fill, mahal in fills:
+                    tag = (f"rms≤{gate:g} rs={ransac} mp={mp}"
+                           + (f" +fill m={mahal:g}" if fill else "      "))
+                    print(f"\n--- geom {tag} ---", flush=True)
+                    kw = dict(ransac=ransac, min_points=mp, mahal=mahal)
+                    kp, v = decode(host[:2], gate, fill, **kw)
+                    print("host   :", score(host, kp, v))
+                    kp, v = decode(frontal[:2], gate, fill, **kw)
+                    print("frontal:", score(frontal, kp, v,
+                                            per_frame_target=14))
+                    kp, v = decode(device[:2], gate, fill, **kw)
+                    print("device :", score(device, kp, v))
+                    _, v_n = decode(negative[:2], gate, fill, **kw)
+                    print("negativ: false-valid", int(v_n.sum()),
+                          f"(parity {int(v_np.sum())})")
+                    if img_heads is not None:
+                        _, v = decode(img_heads, gate, fill, **kw)
+                        print("photo  :", int(v.sum()), "/16", flush=True)
 
 
 if __name__ == "__main__":

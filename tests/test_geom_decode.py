@@ -350,6 +350,31 @@ def test_fill_spread_gate_blocks_degenerate_constellation():
     np.testing.assert_array_equal(np.asarray(v_out), val)
 
 
+def test_fill_mahalanobis_gate_blocks_long_extrapolation():
+    """Round-4 leverage gate: fills far outside the detected constellation
+    (in Mahalanobis units under its covariance) are extrapolations whose
+    error grows with distance — the measured 7.5-px raw-fill tail on the
+    device stream. Near holes keep filling; far ones don't."""
+    from deepcharuco_tpu.ops import fill_from_homography
+
+    bx, true_px, _ = _grid_and_true()
+    kp = np.round(true_px)
+    val = np.ones(N_IDS, bool)
+    val[5] = False       # interior hole: well inside the constellation
+    val[8:] = False      # far half undetected: the last row sits ~5 sigma
+    # out under the two detected rows' covariance (y std 0.5 cells)
+    # (min_points=7: this test isolates the mahal gate from the floor)
+    args = (jnp.asarray(kp), jnp.asarray(val), jnp.asarray(bx), (400, 500))
+
+    _, v3, f3 = fill_from_homography(*args, max_mahal=3.0, min_points=7)
+    f3 = np.asarray(f3)
+    assert f3[5]                      # interior hole filled
+    assert not f3[12:].any()          # far row gated
+
+    _, _, f_inf = fill_from_homography(*args, max_mahal=1e9, min_points=7)
+    assert np.asarray(f_inf)[12:].sum() >= 3  # only the gate was blocking
+
+
 def test_reselect_self_consistency_gate_falls_back_to_parity():
     """Round-4 gate: a final selection no single homography explains (refit
     RMS above ``max_rms_px``) must NOT be trusted — the frame falls back to
@@ -370,9 +395,12 @@ def test_reselect_self_consistency_gate_falls_back_to_parity():
                                          np.float32)
 
     # iters=1 + generous tol: every candidate stays eligible, so the loop
-    # cannot trim the bad points — only the final-refit gate can catch it
+    # cannot trim the bad points — only the final-refit gate can catch it.
+    # ransac_subsets=0 pins the round-3 least-squares seed: this test is
+    # about the GATE; the RANSAC seed would reject the decoys up front
+    # (covered by test_reselect_ransac_rejects_decoy_constellation).
     run = lambda gate: jax.jit(lambda a, b: reselect_by_homography(
-        a, b, jnp.asarray(bx), tol_px=16.0, iters=1,
+        a, b, jnp.asarray(bx), tol_px=16.0, iters=1, ransac_subsets=0,
         max_rms_px=gate))(jnp.asarray(kp), jnp.asarray(val))
 
     kp_g, v_g = run(jnp.inf)
@@ -382,3 +410,39 @@ def test_reselect_self_consistency_gate_falls_back_to_parity():
     # gated: exact parity fallback — same positions, same validity
     np.testing.assert_array_equal(np.asarray(v_s), val[:, 0])
     np.testing.assert_array_equal(np.asarray(kp_s), kp[:, 0])
+
+
+def test_reselect_ransac_rejects_decoy_constellation():
+    """Round-4 RANSAC seed: a minority of slot-0 decoys displaced onto a
+    coherent OTHER plane pulls the least-squares seed enough that the loop
+    blesses them (host frame 349: 4 decoys among 10 detections survived
+    with up to 46-px errors). The consensus seed must instead lock onto
+    the majority plane, recover the true corners hiding in lower slots,
+    and reject decoy ids with no true candidate."""
+    bx, true_px, rng = _grid_and_true()
+    C = 2
+    kp = np.zeros((N_IDS, C, 2), np.float32)
+    val = np.zeros((N_IDS, C), bool)
+    kp[:, 0] = true_px
+    val[:, 0] = True
+    # 5 of 16 slot-0 entries ride a coherent decoy plane (shift + shear),
+    # exactly the churn class the LS seed falls for
+    bad = [1, 3, 6, 10, 13]
+    S = np.array([[1.1, 0.15], [0.05, 1.05]], np.float32)
+    for b in bad:
+        kp[b, 0] = true_px[b] @ S.T + np.array([11.0, 7.0], np.float32)
+    # two of them keep their TRUE corner in slot 1 (displaced pathology)
+    for b in bad[:2]:
+        kp[b, 1] = true_px[b]
+        val[b, 1] = True
+    kp[val] += rng.normal(0, 0.3, kp[val].shape).astype(np.float32)
+
+    out_kp, out_v = jax.jit(lambda a, b: reselect_by_homography(
+        a, b, jnp.asarray(bx)))(jnp.asarray(kp), jnp.asarray(val))
+    out_kp, out_v = np.asarray(out_kp), np.asarray(out_v)
+    d = np.linalg.norm(out_kp - true_px, axis=-1)
+
+    good = [i for i in range(N_IDS) if i not in bad]
+    assert out_v[good].all() and d[good].max() < 3.0   # majority plane kept
+    assert out_v[bad[:2]].all() and d[bad[:2]].max() < 3.0  # slot-1 rescue
+    assert not out_v[bad[2:]].any()          # pure decoys rejected, not kept
