@@ -26,10 +26,76 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# Tests measured ≥12 s per call on the 1-core host (full-suite duration
+# profile, `RUN_SLOW=1 pytest --durations=0`, 2026-08-19: 2,488 s of test
+# calls, of which these 50 account for 2,036 s). Centralized here rather
+# than decorating 15 files; every entry still runs under RUN_SLOW=1.
+# Deliberately NOT listed despite ≥12 s: test_graft_entry.py::
+# test_entry_compiles_and_runs — it pins a driver gate and stays in the
+# default subset. When a test's cost changes materially, re-profile and
+# update this list.
+_SLOW = {
+    "test_cli.py::test_eval_cli_device_source",
+    "test_cli.py::test_eval_cli_frontal_probe",
+    "test_cli.py::test_eval_cli_rn_avg_decode",
+    "test_cli.py::test_pose_video_cli",
+    "test_cli.py::test_pose_video_cli_ransac",
+    "test_cli.py::test_train_cli_bg_bank_and_perspective",
+    "test_cli.py::test_train_cli_device_synth_fused",
+    "test_cli.py::test_train_cli_few_steps",
+    "test_cli.py::test_train_cli_mixed_diet",
+    "test_cli.py::test_train_cli_resume_full_fidelity",
+    "test_cli.py::test_train_refinenet_cli_fused_device_synth",
+    "test_device_synth.py::test_axis_snap_produces_axis_aligned_boards",
+    "test_device_synth.py::test_background_bank_mixes_without_touching_labels",
+    "test_device_synth.py::test_background_bank_probability_zero_is_procedural",
+    "test_device_synth.py::test_device_synth_batch_contract",
+    "test_device_synth.py::test_device_synth_deterministic_by_key",
+    "test_device_synth.py::test_device_synth_labels_decode_in_bounds",
+    "test_device_synth.py::test_fused_synth_train_step_runs",
+    "test_device_synth.py::test_perspective_warp_geometry_and_alignment",
+    "test_frame_patches.py::test_continuous_vs_rounded_targets",
+    "test_full_chain_parity.py::test_full_chain_matches_reference_loop",
+    "test_geom_decode.py::test_eval_cli_geom_decode",
+    "test_geom_decode.py::test_eval_cli_geom_fill",
+    "test_geom_decode.py::test_geom_loc_gate_override_recovers_suppressed_corner",
+    "test_geom_decode.py::test_geom_matches_plain_on_clean_input",
+    "test_geom_decode.py::test_hires_geom_fill_pipeline",
+    "test_geom_decode.py::test_pipeline_geom_decode_integration",
+    "test_geom_decode.py::test_pose_ignores_filled_corners",
+    "test_geom_decode.py::test_reselect_guard_keeps_top1_when_underdetermined",
+    "test_geom_decode.py::test_reselect_ransac_rejects_decoy_constellation",
+    "test_geom_decode.py::test_reselect_recovers_displaced_and_rejects_decoys",
+    "test_geom_decode.py::test_reselect_self_consistency_gate_falls_back_to_parity",
+    "test_graft_entry.py::test_dryrun_multichip_8",
+    "test_hires_tap.py::test_eval_cli_hires",
+    "test_hires_tap.py::test_eval_cli_hires_scale4",
+    "test_hires_tap.py::test_pipeline_hires_detect_and_pose",
+    "test_hires_tap.py::test_pipeline_hires_scale4_detect_and_input_coords",
+    "test_hires_tap.py::test_pose_video_cli_hires",
+    "test_hires_tap.py::test_train_refinenet_cli_frame_scale",
+    "test_other_boards.py::test_pipeline_on_small_board",
+    "test_pallas_fused.py::test_fused_path_agrees_with_production_on_trained_weights",
+    "test_real_image.py::test_geom_fill_completes_the_board",
+    "test_serving.py::test_device_queue_server_matches_stream_server",
+    "test_serving.py::test_device_queue_server_with_pose",
+    "test_sharded_inference.py::test_full_forward_with_pose_sharded",
+    "test_sharded_inference.py::test_geom_decode_fill_sharded_matches_single_device",
+    "test_sharded_training.py::test_cli_train_device_synth_data_parallel_composes",
+    "test_sharded_training.py::test_fused_synth_step_matches_single_device",
+    "test_sharded_training.py::test_fused_synth_step_partitioned_and_runs",
+    "test_train.py::test_sharded_detector_train_step_8_devices",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     """Default run = fast subset (<10 min on the 1-core host). The tests
-    marked ``slow`` (long device-synth/train/CLI integration runs) need
+    in ``_SLOW`` (long device-synth/train/CLI integration runs) need
     ``RUN_SLOW=1 python -m pytest tests/ -q`` — the documented full suite."""
+    for item in items:
+        rel = item.nodeid.split("/")[-1]
+        if rel in _SLOW:
+            item.add_marker(pytest.mark.slow)
     if os.environ.get("RUN_SLOW"):
         return
     skip = pytest.mark.skip(reason="slow: run with RUN_SLOW=1 for full suite")
