@@ -26,15 +26,25 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-# Tests measured ≥12 s per call on the 1-core host (full-suite duration
+# Tests measured ≥10 s per call on the 1-core host (full-suite duration
 # profile, `RUN_SLOW=1 pytest --durations=0`, 2026-08-19: 2,488 s of test
-# calls, of which these 50 account for 2,036 s). Centralized here rather
-# than decorating 15 files; every entry still runs under RUN_SLOW=1.
-# Deliberately NOT listed despite ≥12 s: test_graft_entry.py::
-# test_entry_compiles_and_runs — it pins a driver gate and stays in the
-# default subset. When a test's cost changes materially, re-profile and
-# update this list.
+# calls; the ≥12 s band alone left the default run at 9:37 — too little
+# margin under the <10 min budget, hence the 10–12 s band too).
+# Centralized here rather than decorating 15 files; every entry still
+# runs under RUN_SLOW=1. Deliberately NOT listed despite qualifying:
+# test_graft_entry.py::test_entry_compiles_and_runs (12.2 s, pins a
+# driver gate) and test_golden.py::test_pipeline_matches_golden (11.2 s,
+# pins the shipped artifacts) stay in the default subset. When a test's
+# cost changes materially, re-profile and update this list.
 _SLOW = {
+    "test_device_synth.py::test_device_synth_negative_probability",
+    "test_frame_patches.py::test_frame_patch_label_inverts_refine_mapping",
+    "test_hires_tap.py::test_hires_forward_shapes_and_units",
+    "test_other_boards.py::test_device_synth_small_board",
+    "test_pipeline.py::test_full_forward_pose_outputs",
+    "test_pipeline.py::test_inference_pipeline_class",
+    "test_pnp.py::test_solve_pnp_batch",
+    "test_pnp_ransac.py::test_ransac_batch",
     "test_cli.py::test_eval_cli_device_source",
     "test_cli.py::test_eval_cli_frontal_probe",
     "test_cli.py::test_eval_cli_rn_avg_decode",
