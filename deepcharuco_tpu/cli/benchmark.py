@@ -58,6 +58,10 @@ def build_argparser():
                    help="time the geometry-consistent decode "
                         "(ops/geom.py homography reselection) instead of "
                         "the parity decode")
+    p.add_argument("--geom-ransac", type=int, default=64,
+                   help="with --geom-decode: RANSAC seed subset count "
+                        "(ops/geom.py ransac_subsets; 0 = least-squares "
+                        "seed) — the cost/robustness knob")
     p.add_argument("--fused-head", action="store_true",
                    help="A/B the detector→keypoints stage: XLA heads + jnp "
                         "decode vs the fused Pallas head+decode kernel "
@@ -201,7 +205,8 @@ def main(argv=None):
         pipe = InferencePipeline(cfg, dv, rv,
                                  rn_patch_size=args.rn_patch_size,
                                  hires=args.hires,
-                                 geom_decode=args.geom_decode)
+                                 geom_decode=args.geom_decode,
+                                 geom_ransac=args.geom_ransac)
         rng = np.random.default_rng(0)
 
         # Pre-materialize every frame BEFORE the timed loop (round 4): the
@@ -282,20 +287,23 @@ def main(argv=None):
             dist12 = jnp.zeros(12, jnp.float32)
             fn = jax.jit(lambda dv, rv, x: full_forward_hires(
                 det, rn, dv, rv, x, cfg.n_ids, obj, K, dist12,
-                geom_board_xy=gxy, scale=args.hires))
+                geom_board_xy=gxy, geom_ransac=args.geom_ransac,
+                scale=args.hires))
         else:
             fn = jax.jit(lambda dv, rv, x: full_forward(det, rn, dv, rv, x, cfg.n_ids,
                                                         obj, K, dist,
-                                                        geom_board_xy=gxy))
+                                                        geom_board_xy=gxy,
+                                                        geom_ransac=args.geom_ransac))
     elif args.hires:
         from deepcharuco_tpu.pipeline import two_stage_forward_hires
 
         fn = jax.jit(lambda dv, rv, x: two_stage_forward_hires(
             det, rn, dv, rv, x, cfg.n_ids, geom_board_xy=gxy,
-            scale=args.hires))
+            geom_ransac=args.geom_ransac, scale=args.hires))
     else:
-        fn = jax.jit(lambda dv, rv, x: two_stage_forward(det, rn, dv, rv, x, cfg.n_ids,
-                                                         geom_board_xy=gxy))
+        fn = jax.jit(lambda dv, rv, x: two_stage_forward(
+            det, rn, dv, rv, x, cfg.n_ids, geom_board_xy=gxy,
+            geom_ransac=args.geom_ransac))
 
     xs = _input_variants(x, args.iters)
     dt = _time_fn(fn, [(dv, rv, v) for v in xs], args.iters, args.warmup,

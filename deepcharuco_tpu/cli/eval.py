@@ -78,6 +78,10 @@ def build_argparser():
                         "refinement (ops.fill_from_homography) — the "
                         "completeness mode; fills are refined by the same "
                         "RefineNet pass")
+    p.add_argument("--geom-ransac", type=int, default=64,
+                   help="with --geom-decode: RANSAC seed subset count "
+                        "(ops/geom.py ransac_subsets; 0 = least-squares "
+                        "seed) — the cost/robustness knob")
     return p
 
 
@@ -128,7 +132,8 @@ def main(argv=None):
         def decode(loc_hat, ids_hat):
             kp, v = pred_to_keypoints_geom(loc_hat, ids_hat, cfg.n_ids,
                                            board_xy,
-                                           min_margin=args.min_margin)
+                                           min_margin=args.min_margin,
+                                           ransac_subsets=args.geom_ransac)
             if args.geom_fill:
                 from deepcharuco_tpu.ops import fill_from_homography
 
@@ -180,6 +185,7 @@ def main(argv=None):
                                            rn_decode=hires_mode,
                                            geom_board_xy=gxy,
                                            geom_fill=args.geom_fill,
+                                           geom_ransac=args.geom_ransac,
                                            scale=args.hires)
 
     bs = 16

@@ -140,6 +140,7 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
                       rn_decode: Optional[str] = None,
                       geom_board_xy: Optional[jnp.ndarray] = None,
                       geom_fill: bool = False,
+                      geom_ransac: int = 64,
                       return_filled: bool = False):
     """Detector → decode → patch gather → RefineNet → sub-pixel corners.
 
@@ -199,7 +200,8 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
     elif geom_board_xy is not None:
         keypoints, valid = pred_to_keypoints_geom(out["loc"], out["ids"],
                                                   n_ids, geom_board_xy,
-                                                  min_margin=min_margin)
+                                                  min_margin=min_margin,
+                                                  ransac_subsets=geom_ransac)
         if geom_fill:
             hw = g.shape[1:3]
             keypoints, valid, filled = jax.vmap(
@@ -241,6 +243,7 @@ def two_stage_forward_hires(detector: Detector, refinenet: RefineNet,
                             rn_decode: str = "soft",
                             geom_board_xy: Optional[jnp.ndarray] = None,
                             geom_fill: bool = False,
+                            geom_ransac: int = 64,
                             return_filled: bool = False,
                             scale: int = 2):
     """Hi-res patch tap: detector on a ``scale``×-downsampled view, RefineNet
@@ -278,7 +281,8 @@ def two_stage_forward_hires(detector: Detector, refinenet: RefineNet,
 
         keypoints, valid = pred_to_keypoints_geom(out["loc"], out["ids"],
                                                   n_ids, geom_board_xy,
-                                                  min_margin=min_margin)
+                                                  min_margin=min_margin,
+                                                  ransac_subsets=geom_ransac)
         if geom_fill:
             hw = g_lo.shape[1:3]  # fills live in pooled-view units
             keypoints, valid, filled = jax.vmap(
@@ -312,6 +316,7 @@ def full_forward_hires(detector: Detector, refinenet: RefineNet,
                        rn_decode: str = "soft",
                        geom_board_xy: Optional[jnp.ndarray] = None,
                        geom_fill: bool = False,
+                       geom_ransac: int = 64,
                        scale: int = 2):
     """:func:`two_stage_forward_hires` + batched planar PnP, one program.
 
@@ -322,7 +327,8 @@ def full_forward_hires(detector: Detector, refinenet: RefineNet,
     keypoints, valid, refined, filled = two_stage_forward_hires(
         detector, refinenet, det_vars, rn_vars, frames_hi, n_ids,
         min_margin=min_margin, rn_decode=rn_decode,
-        geom_board_xy=geom_board_xy, geom_fill=geom_fill, return_filled=True,
+        geom_board_xy=geom_board_xy, geom_fill=geom_fill,
+        geom_ransac=geom_ransac, return_filled=True,
         scale=scale)
     # Pose from MEASURED detections only: filled corners lie on the fitted
     # homography by construction — they add no independent evidence, and
@@ -340,7 +346,8 @@ def full_forward(detector: Detector, refinenet: Optional[RefineNet],
                  min_margin: Optional[float] = None,
                  rn_decode: Optional[str] = None,
                  geom_board_xy: Optional[jnp.ndarray] = None,
-                 geom_fill: bool = False):
+                 geom_fill: bool = False,
+                 geom_ransac: int = 64):
     """:func:`two_stage_forward` + batched planar PnP, all in one program.
 
     With ``geom_fill`` the pose is solved from MEASURED detections only —
@@ -352,7 +359,8 @@ def full_forward(detector: Detector, refinenet: Optional[RefineNet],
     keypoints, valid, refined, filled = two_stage_forward(
         detector, refinenet, det_vars, rn_vars, frames, n_ids,
         soft_refine=soft_refine, min_margin=min_margin, rn_decode=rn_decode,
-        geom_board_xy=geom_board_xy, geom_fill=geom_fill, return_filled=True,
+        geom_board_xy=geom_board_xy, geom_fill=geom_fill,
+        geom_ransac=geom_ransac, return_filled=True,
     )
     solve = lambda ip, v: solve_pnp(object_points, ip, v, K, dist, iters=pnp_iters)
     ok, rvec, tvec, rms = jax.vmap(solve)(refined, valid & ~filled)
@@ -479,7 +487,8 @@ def load_pipeline(config: Config, deepc_ckpt: Optional[str] = None,
                   rn_decode: Optional[str] = None,
                   hires=False,
                   geom_decode: bool = False,
-                  geom_fill: bool = False) -> "InferencePipeline":
+                  geom_fill: bool = False,
+                  geom_ransac: int = 64) -> "InferencePipeline":
     """Parity entry point for reference ``load_models`` + pipeline assembly.
 
     ``hires``: False (base resolution), True/2 (2× patch tap), or 4."""
@@ -491,7 +500,8 @@ def load_pipeline(config: Config, deepc_ckpt: Optional[str] = None,
                              rn_upsample=rn_upsample,
                              rn_patch_size=rn_patch_size,
                              rn_decode=rn_decode, hires=hires,
-                             geom_decode=geom_decode, geom_fill=geom_fill)
+                             geom_decode=geom_decode, geom_fill=geom_fill,
+                             geom_ransac=geom_ransac)
 
 
 class InferencePipeline:
@@ -513,7 +523,8 @@ class InferencePipeline:
                  rn_decode: Optional[str] = None,
                  hires=False,
                  geom_decode: bool = False,
-                 geom_fill: bool = False):
+                 geom_fill: bool = False,
+                 geom_ransac: int = 64):
         self.config = config
         self.n_ids = config.n_ids
         self.detector = Detector(n_ids=config.n_ids, dtype=compute_dtype)
@@ -560,7 +571,8 @@ class InferencePipeline:
                 lambda dv, rv, x: two_stage_forward_hires(
                     self.detector, self.refinenet, dv, rv, x, self.n_ids,
                     min_margin=min_margin, rn_decode=hires_mode,
-                    geom_board_xy=board_xy, geom_fill=geom_fill, scale=s,
+                    geom_board_xy=board_xy, geom_fill=geom_fill,
+                    geom_ransac=geom_ransac, scale=s,
                 )
             )
             if camera is not None:
@@ -572,7 +584,8 @@ class InferencePipeline:
                         self.detector, self.refinenet, dv, rv, x, self.n_ids,
                         self.object_points, K, dist, pnp_iters,
                         min_margin=min_margin, rn_decode=hires_mode,
-                        geom_board_xy=board_xy, geom_fill=geom_fill, scale=s,
+                        geom_board_xy=board_xy, geom_fill=geom_fill,
+                        geom_ransac=geom_ransac, scale=s,
                     )
                 )
             else:
@@ -589,6 +602,7 @@ class InferencePipeline:
                 soft_refine=soft_refine, min_margin=min_margin,
                 decode_capacity=decode_capacity, rn_decode=rn_decode,
                 geom_board_xy=board_xy, geom_fill=geom_fill,
+                geom_ransac=geom_ransac,
             )
         )
         if camera is not None:
@@ -599,7 +613,8 @@ class InferencePipeline:
                     self.detector, self.refinenet, dv, rv, x, self.n_ids,
                     self.object_points, K, dist, pnp_iters,
                     soft_refine=soft_refine, min_margin=min_margin,
-                    rn_decode=rn_decode, geom_board_xy=board_xy, geom_fill=geom_fill,
+                    rn_decode=rn_decode, geom_board_xy=board_xy,
+                    geom_fill=geom_fill, geom_ransac=geom_ransac,
                 )
             )
         else:
