@@ -52,13 +52,20 @@ def build_argparser():
                         "(2 = the official bench.py protocol, overlapping "
                         "the fetch round trip with compute; 1 = serialize "
                         "one fetch RTT per iteration)")
+    p.add_argument("--fetch", choices=["all", "refined"], default="all",
+                   help="per-iteration completion fetch: every output leaf "
+                        "(default; what a consumer downloading the full "
+                        "result set pays) or the refined-corners array only "
+                        "(= bench.py's exact protocol; the knob matters "
+                        "only when tunnel bandwidth is degraded — "
+                        "BENCH_NOTES 'Round-4 harness reconciliation')")
     p.add_argument("--rn-patch-size", type=int, choices=[24, 32], default=24,
                    help="RefineNet patch size (match the checkpoint)")
     p.add_argument("--geom-decode", action="store_true",
                    help="time the geometry-consistent decode "
                         "(ops/geom.py homography reselection) instead of "
                         "the parity decode")
-    p.add_argument("--geom-ransac", type=int, default=64,
+    p.add_argument("--geom-ransac", type=int, default=32,
                    help="with --geom-decode: RANSAC seed subset count "
                         "(ops/geom.py ransac_subsets; 0 = least-squares "
                         "seed) — the cost/robustness knob")
@@ -113,7 +120,7 @@ def _input_variants(x, n):
     return out
 
 
-def _time_fn(fn, args_tuples, iters, warmup, depth=2):
+def _time_fn(fn, args_tuples, iters, warmup, depth=2, fetch="all"):
     """Time ``fn`` over a *list* of argument tuples, cycled per iteration —
     every call gets content-varied input (see :func:`_input_variants`) and
     every result is value-fetched (``profiling.force_fetch`` — the only
@@ -132,20 +139,28 @@ def _time_fn(fn, args_tuples, iters, warmup, depth=2):
     """
     import collections
 
+    import numpy as np
+
     from deepcharuco_tpu.profiling import force_fetch
 
+    # "refined" = bench.py's exact completion fetch: the refined-corners
+    # array only (out[2], ~32 KB at batch 256). "all" additionally downloads
+    # every other output leaf — identical at healthy tunnel bandwidth,
+    # +10-20 ms/iter when the tunnel degrades to ~0.01 GB/s.
+    grab = (force_fetch if fetch == "all"
+            else lambda out: np.asarray(out[2]))
     n = len(args_tuples)
     for i in range(warmup):
         out = fn(*args_tuples[i % n])
-    force_fetch(out)
+    grab(out)
     q = collections.deque()
     t0 = time.perf_counter()
     for i in range(iters):
         q.append(fn(*args_tuples[i % n]))
         if len(q) > depth:
-            force_fetch(q.popleft())
+            grab(q.popleft())
     while q:
-        force_fetch(q.popleft())
+        grab(q.popleft())
     return time.perf_counter() - t0
 
 
@@ -307,7 +322,7 @@ def main(argv=None):
 
     xs = _input_variants(x, args.iters)
     dt = _time_fn(fn, [(dv, rv, v) for v in xs], args.iters, args.warmup,
-                   depth=args.depth)
+                   depth=args.depth, fetch=args.fetch)
     fps = args.batch * args.iters / dt
     label = "full+pose" if args.with_pose else "two-stage"
     if args.hires:

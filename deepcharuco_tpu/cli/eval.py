@@ -78,7 +78,7 @@ def build_argparser():
                         "refinement (ops.fill_from_homography) — the "
                         "completeness mode; fills are refined by the same "
                         "RefineNet pass")
-    p.add_argument("--geom-ransac", type=int, default=64,
+    p.add_argument("--geom-ransac", type=int, default=32,
                    help="with --geom-decode: RANSAC seed subset count "
                         "(ops/geom.py ransac_subsets; 0 = least-squares "
                         "seed) — the cost/robustness knob")

@@ -105,7 +105,7 @@ def reselect_by_homography(kp_topk: jnp.ndarray, valid_topk: jnp.ndarray,
                            board_xy: jnp.ndarray, tol_px: float = 4.0,
                            iters: int = 3, min_points: int = 6,
                            max_rms_px: float = 1.5,
-                           ransac_subsets: int = 64):
+                           ransac_subsets: int = 32):
     """One frame: choose, per id, the candidate consistent with the board.
 
     Parameters
@@ -295,7 +295,7 @@ def pred_to_keypoints_geom(loc_hat: jnp.ndarray, ids_hat: jnp.ndarray,
                            loc_override: bool = True,
                            override_capacity: int = 2,
                            max_rms_px: float = 1.5,
-                           ransac_subsets: int = 64):
+                           ransac_subsets: int = 32):
     """Batched heads → geometry-reselected single-slot keypoints.
 
     Drop-in shape-compatible with ``pred_to_keypoints`` ((N, n_ids, 2),

@@ -140,7 +140,7 @@ def two_stage_forward(detector: Detector, refinenet: Optional[RefineNet],
                       rn_decode: Optional[str] = None,
                       geom_board_xy: Optional[jnp.ndarray] = None,
                       geom_fill: bool = False,
-                      geom_ransac: int = 64,
+                      geom_ransac: int = 32,
                       return_filled: bool = False):
     """Detector → decode → patch gather → RefineNet → sub-pixel corners.
 
@@ -243,7 +243,7 @@ def two_stage_forward_hires(detector: Detector, refinenet: RefineNet,
                             rn_decode: str = "soft",
                             geom_board_xy: Optional[jnp.ndarray] = None,
                             geom_fill: bool = False,
-                            geom_ransac: int = 64,
+                            geom_ransac: int = 32,
                             return_filled: bool = False,
                             scale: int = 2):
     """Hi-res patch tap: detector on a ``scale``×-downsampled view, RefineNet
@@ -316,7 +316,7 @@ def full_forward_hires(detector: Detector, refinenet: RefineNet,
                        rn_decode: str = "soft",
                        geom_board_xy: Optional[jnp.ndarray] = None,
                        geom_fill: bool = False,
-                       geom_ransac: int = 64,
+                       geom_ransac: int = 32,
                        scale: int = 2):
     """:func:`two_stage_forward_hires` + batched planar PnP, one program.
 
@@ -347,7 +347,7 @@ def full_forward(detector: Detector, refinenet: Optional[RefineNet],
                  rn_decode: Optional[str] = None,
                  geom_board_xy: Optional[jnp.ndarray] = None,
                  geom_fill: bool = False,
-                 geom_ransac: int = 64):
+                 geom_ransac: int = 32):
     """:func:`two_stage_forward` + batched planar PnP, all in one program.
 
     With ``geom_fill`` the pose is solved from MEASURED detections only —
@@ -488,7 +488,7 @@ def load_pipeline(config: Config, deepc_ckpt: Optional[str] = None,
                   hires=False,
                   geom_decode: bool = False,
                   geom_fill: bool = False,
-                  geom_ransac: int = 64) -> "InferencePipeline":
+                  geom_ransac: int = 32) -> "InferencePipeline":
     """Parity entry point for reference ``load_models`` + pipeline assembly.
 
     ``hires``: False (base resolution), True/2 (2× patch tap), or 4."""
@@ -524,7 +524,7 @@ class InferencePipeline:
                  hires=False,
                  geom_decode: bool = False,
                  geom_fill: bool = False,
-                 geom_ransac: int = 64):
+                 geom_ransac: int = 32):
         self.config = config
         self.n_ids = config.n_ids
         self.detector = Detector(n_ids=config.n_ids, dtype=compute_dtype)
