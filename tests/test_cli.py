@@ -249,3 +249,43 @@ def test_view_cli_dataset_grid(tmp_path):
           "--out", out, "--validation"])
     img = cv2.imread(out + "_p0.png")
     assert img is not None and img.shape[0] > 100
+
+
+def test_benchmark_cli_fetch_refined(tmp_path, capsys):
+    """--fetch refined (= bench.py's exact completion payload, BENCH_NOTES
+    'harness reconciliation, part 2') must drive the timed loop end-to-end;
+    combined with --geom-decode it also exercises the rs=32 default."""
+    import yaml
+
+    from deepcharuco_tpu.cli.benchmark import main
+
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(yaml.safe_dump(dict(
+        board_name="DICT_4X4_50", row_count=5, col_count=5,
+        square_len=0.01, marker_len=0.0075, input_size=[160, 120])))
+    main(["--config", str(cfg), "--batch", "2", "--iters", "3",
+          "--warmup", "1", "--fetch", "refined", "--geom-decode"])
+    out = capsys.readouterr().out
+    assert "geom decode" in out and "fps" in out
+
+
+def test_geom_ransac_default_consistent_everywhere():
+    """The ransac_subsets default (32; BENCH_NOTES 'ransac_subsets default
+    = 32') must agree across the op, the pipeline entry points, and both
+    CLI argparsers — a drift here would silently benchmark one config and
+    ship another."""
+    import inspect
+
+    from deepcharuco_tpu.cli.benchmark import build_argparser as bench_ap
+    from deepcharuco_tpu.cli.eval import build_argparser as eval_ap
+    from deepcharuco_tpu.ops.geom import reselect_by_homography
+    from deepcharuco_tpu.pipeline import InferencePipeline, load_pipeline
+
+    op_default = inspect.signature(
+        reselect_by_homography).parameters["ransac_subsets"].default
+    assert op_default == 32
+    for fn in (load_pipeline, InferencePipeline.__init__):
+        assert inspect.signature(
+            fn).parameters["geom_ransac"].default == op_default
+    for ap in (bench_ap(), eval_ap()):
+        assert ap.get_default("geom_ransac") == op_default
