@@ -478,6 +478,30 @@ def variables_from_npz(path: str):
     return tree
 
 
+def is_quantized_npz(ckpt: Optional[str]) -> bool:
+    """True if ``ckpt`` is an int8 detector artifact (models/quant.py
+    ``qvars_to_npz`` layout), distinguishable from an f32 variables npz by
+    its flat ``<block>/w`` int8 kernel keys."""
+    if not (ckpt and str(ckpt).endswith(".npz")):
+        return False
+    with np.load(ckpt) as z:
+        return "conv1a/w" in z.files
+
+
+def load_detector_any(ckpt: Optional[str], n_ids: int,
+                      compute_dtype=jnp.bfloat16):
+    """Return ``(detector_like, variables)`` for any detector checkpoint:
+    the Flax :class:`Detector` for f32/orbax/torch checkpoints, or the int8
+    :class:`~deepcharuco_tpu.models.quant.QuantDetector` when ``ckpt`` is a
+    quantized artifact (written by ``scripts/quantize_detector.py``)."""
+    if is_quantized_npz(ckpt):
+        from deepcharuco_tpu.models.quant import QuantDetector, qvars_from_npz
+
+        return QuantDetector(n_ids), qvars_from_npz(ckpt)
+    return (Detector(n_ids=n_ids, dtype=compute_dtype),
+            load_model_variables(ckpt, "detector", n_ids))
+
+
 def load_pipeline(config: Config, deepc_ckpt: Optional[str] = None,
                   refinenet_ckpt: Optional[str] = None,
                   camera: Optional[Camera] = None,
@@ -491,11 +515,22 @@ def load_pipeline(config: Config, deepc_ckpt: Optional[str] = None,
                   geom_ransac: int = 32) -> "InferencePipeline":
     """Parity entry point for reference ``load_models`` + pipeline assembly.
 
-    ``hires``: False (base resolution), True/2 (2× patch tap), or 4."""
-    dv = load_model_variables(deepc_ckpt, "detector", config.n_ids)
+    ``hires``: False (base resolution), True/2 (2× patch tap), or 4.
+
+    An int8 detector artifact (``scripts/quantize_detector.py``) is
+    auto-detected from its npz layout and served through
+    :class:`~deepcharuco_tpu.models.quant.QuantDetector` — no flag needed."""
+    det_quant = "int8" if is_quantized_npz(deepc_ckpt) else None
+    if det_quant:
+        from deepcharuco_tpu.models.quant import qvars_from_npz
+
+        dv = qvars_from_npz(deepc_ckpt)
+    else:
+        dv = load_model_variables(deepc_ckpt, "detector", config.n_ids)
     rv = (load_model_variables(refinenet_ckpt, "refinenet")
           if refinenet_ckpt is not None else None)
     return InferencePipeline(config, dv, rv, camera=camera,
+                             det_quant=det_quant,
                              compute_dtype=compute_dtype,
                              rn_upsample=rn_upsample,
                              rn_patch_size=rn_patch_size,
@@ -524,10 +559,20 @@ class InferencePipeline:
                  hires=False,
                  geom_decode: bool = False,
                  geom_fill: bool = False,
-                 geom_ransac: int = 32):
+                 geom_ransac: int = 32,
+                 det_quant: Optional[str] = None):
         self.config = config
         self.n_ids = config.n_ids
-        self.detector = Detector(n_ids=config.n_ids, dtype=compute_dtype)
+        if det_quant == "int8":
+            # det_vars is the int8 qvars pytree (models/quant.py);
+            # QuantDetector mirrors Detector.apply's input/output contract.
+            from deepcharuco_tpu.models.quant import QuantDetector
+
+            self.detector = QuantDetector(config.n_ids)
+        elif det_quant is not None:
+            raise ValueError(f"unknown det_quant {det_quant!r}")
+        else:
+            self.detector = Detector(n_ids=config.n_ids, dtype=compute_dtype)
         needs_offset = rn_decode in ("offset", "avg")
         self.refinenet = (RefineNet(dtype=compute_dtype, upsample=rn_upsample,
                                     patch_size=rn_patch_size,
