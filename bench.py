@@ -79,22 +79,110 @@ def _tpu_claimable(timeout_s: float = 150.0) -> bool:
         return False
 
 
+def _wait_for_claimable() -> bool:
+    """Probe the grant repeatedly inside a bounded window.
+
+    A single probe made BENCH_r04.json record 0.0 fps when a transient
+    outage coincided with the driver's snapshot hour even though the chip
+    recovered shortly after. Retry every ~3 min for BENCH_WAIT_S seconds
+    (default 25 min — comfortably under any driver timeout, long enough to
+    ride out the observed transient stalls; the 10-hour 2026-08-17 outage
+    class is not worth waiting for). Mirrors scripts/wait_for_tpu.sh.
+    """
+    wait_s = float(os.environ.get("BENCH_WAIT_S", "1500"))
+    retry_sleep = float(os.environ.get("BENCH_RETRY_SLEEP_S", "150"))
+    deadline = time.monotonic() + wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        if _tpu_claimable():
+            if attempt > 1:
+                _log(f"TPU grant recovered on probe attempt {attempt}")
+            return True
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            _log(f"TPU grant unclaimable after {attempt} bounded probes "
+                 f"over {wait_s:.0f}s")
+            return False
+        _log(f"TPU probe {attempt} hung/failed; retrying for another "
+             f"{remaining:.0f}s (known axon outage mode, CLAUDE.md)")
+        time.sleep(min(retry_sleep, max(remaining, 1.0)))
+
+
+_LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "benchmarks", "last_good.json")
+
+
+def _read_last_good():
+    """Most recent real measurement: benchmarks/last_good.json, else the
+    newest non-zero driver artifact BENCH_r*.json in the repo root."""
+    try:
+        with open(_LAST_GOOD_PATH) as f:
+            return json.load(f)
+    except Exception:
+        pass
+    root = os.path.dirname(_LAST_GOOD_PATH)  # .../benchmarks
+    root = os.path.dirname(root)
+    best = None
+    try:
+        import glob
+        import re
+
+        for p in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+            try:
+                with open(p) as f:
+                    rec = json.load(f)
+            except Exception:
+                continue
+            rec = rec.get("parsed", rec) or {}  # driver nests under 'parsed'
+            if float(rec.get("value", 0.0)) > 0.0:
+                m = re.search(r"BENCH_r(\d+)", p)
+                rnd = int(m.group(1)) if m else -1
+                if best is None or rnd >= best[0]:
+                    best = (rnd, {"value": rec["value"],
+                                  "unit": rec.get("unit", "fps"),
+                                  "source": os.path.basename(p)})
+    except Exception:
+        return None
+    return best[1] if best else None
+
+
+def _write_last_good(fps: float):
+    try:
+        os.makedirs(os.path.dirname(_LAST_GOOD_PATH), exist_ok=True)
+        with open(_LAST_GOOD_PATH, "w") as f:
+            json.dump({"value": round(fps, 1), "unit": "fps",
+                       "timestamp": time.strftime(
+                           "%Y-%m-%dT%H:%M:%S", time.gmtime()) + "Z",
+                       "source": "bench.py"}, f)
+            f.write("\n")
+    except Exception as e:
+        _log(f"could not persist last_good record: {e}")
+
+
 def main():
     force_cpu = os.environ.get("JAX_PLATFORMS", "axon") == "cpu"
     # Outage guard: only when targeting the real chip (tests pin cpu).
     if not force_cpu and os.environ.get("BENCH_SKIP_PROBE", "0") != "1":
-        if not _tpu_claimable():
-            _log("TPU grant unclaimable (bounded probe hung) — the known "
-                 "axon outage mode (CLAUDE.md, 2026-08-17). Refusing to "
-                 "hang; re-run after `bash scripts/wait_for_tpu.sh` "
+        if not _wait_for_claimable():
+            _log("TPU grant unclaimable for the whole retry window — the "
+                 "known axon outage mode (CLAUDE.md, 2026-08-17). Refusing "
+                 "to hang; re-run after `bash scripts/wait_for_tpu.sh` "
                  "succeeds, or set BENCH_SKIP_PROBE=1 to bypass.")
-            print(json.dumps({
+            rec = {
                 "metric": "fps_full_pipeline_320x240",
                 "value": 0.0,
                 "unit": "fps",
                 "vs_baseline": 0.0,
                 "note": "tpu_unclaimable_outage",
-            }))
+            }
+            last = _read_last_good()
+            if last:
+                # The outage record still states the most recent real
+                # measurement so a transient outage can't hole the
+                # cross-round perf history (VERDICT r4 item 3).
+                rec["last_good"] = last
+            print(json.dumps(rec))
             return
         # A fresh claim right after the probe's release can hang (CLAUDE.md:
         # wait ~20-30 s between TPU processes); the probe exits cleanly so a
@@ -269,6 +357,8 @@ def main():
         _log(f"pipelined/compute agreement: {fps / fps_c:.2f}x "
              "(must be within ~1.5x for the headline to be defensible)")
 
+    if not force_cpu:
+        _write_last_good(fps)
     print(json.dumps({
         "metric": "fps_full_pipeline_320x240",
         "value": round(fps, 1),

@@ -208,6 +208,19 @@ def main(argv=None):
 
         frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
 
+    # Fail fast on configurations past the measured HBM ceiling (batch 256
+    # @VGA OOMs at 18.75 GB of 15.75 GB — BENCH_NOTES round-4) instead of
+    # dying mid-run with a raw XLA allocation error.
+    from deepcharuco_tpu.serving import check_hbm_budget
+
+    eff_batch = (max(1, args.stream_chunk) * args.multi_stream
+                 if args.multi_stream > 0 else args.batch)
+    try:
+        check_hbm_budget(eff_batch, frame.shape[0], frame.shape[1],
+                         context="benchmark batch")
+    except ValueError as e:
+        raise SystemExit(str(e))
+
     if args.multi_stream > 0:
         # BASELINE config #5: N independent streams at the configured
         # resolution through serving.StreamServer (one fused executable,

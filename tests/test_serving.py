@@ -93,3 +93,37 @@ def test_stream_server_with_pose(rng):
     steps = list(server.run())
     assert len(steps) == 2
     assert "rvec" in steps[0][0] and steps[0][0]["rvec"].shape == (3,)
+
+
+def test_hbm_budget_guard_vga_ceiling():
+    """The measured VGA ceiling (batch 256 @640x480 needs 18.75 GB of
+    15.75 GB HBM, BENCH_NOTES round-4) must fail fast with the documented
+    explanation + suggested batch, not a raw XLA allocation error."""
+    import pytest
+
+    from deepcharuco_tpu.serving import (check_hbm_budget,
+                                         two_stage_batch_ceiling)
+
+    # chunk=16 x 8 streams (the measured-good config) fits
+    check_hbm_budget(128, 480, 640)
+    # chunk=32 x 8 streams (the measured OOM) is rejected with the ceiling
+    with pytest.raises(ValueError, match="GB of two-stage activations"):
+        check_hbm_budget(256, 480, 640)
+    # the model's ceiling must sit inside the measured bracket:
+    # 128 @VGA ran, 256 @VGA OOMed
+    ceil = two_stage_batch_ceiling(480, 640)
+    assert 128 <= ceil < 256
+    check_hbm_budget(ceil, 480, 640)  # the stated ceiling itself fits
+    # the headline 320x240 batch-256 config is far inside budget
+    check_hbm_budget(256, 240, 320)
+
+
+def test_device_queue_server_rejects_oversized_chunk():
+    """DeviceQueueServer itself (not just the CLI) guards the first launch."""
+    import pytest
+
+    frames = [np.zeros((480, 640), np.uint8)] * 2
+    streams = [VideoStream(iter(frames), name=f"s{i}") for i in range(8)]
+    server = DeviceQueueServer(_pipe(), streams, chunk=32)
+    with pytest.raises(ValueError, match="DeviceQueueServer chunk=32"):
+        next(server.run())
