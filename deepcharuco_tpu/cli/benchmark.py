@@ -174,10 +174,12 @@ def main(argv=None):
     from deepcharuco_tpu.configs import default_config, load_configuration
     from deepcharuco_tpu.pipeline import (
         full_forward,
+        is_quantized_npz,
+        load_detector_any,
         load_model_variables,
         two_stage_forward,
     )
-    from deepcharuco_tpu.models import Detector, RefineNet
+    from deepcharuco_tpu.models import RefineNet
     from deepcharuco_tpu.board import inner_corner_object_points
 
     cfg = load_configuration(args.config) if args.config else default_config()
@@ -186,9 +188,13 @@ def main(argv=None):
 
         w, h = (int(v) for v in args.size.lower().split("x"))
         cfg = _dc.replace(cfg, input_size=(w, h))
-    det = Detector(n_ids=cfg.n_ids)
+    # Routes an int8 artifact (scripts/quantize_detector.py) through
+    # QuantDetector automatically — same apply() contract, so every timed
+    # program below accepts it unchanged.
+    det_quant = "int8" if is_quantized_npz(args.deepc) else None
+    det, dv = load_detector_any(args.deepc, cfg.n_ids)
     rn = RefineNet(patch_size=args.rn_patch_size)
-    dv = jax.device_put(load_model_variables(args.deepc, "detector", cfg.n_ids))
+    dv = jax.device_put(dv)
     if args.refinenet is None and args.rn_patch_size != 24:
         ps = args.rn_patch_size
         rv = rn.init(jax.random.PRNGKey(0), jnp.zeros((1, ps, ps, 1)))
@@ -231,6 +237,7 @@ def main(argv=None):
                                              VideoStream)
 
         pipe = InferencePipeline(cfg, dv, rv,
+                                 det_quant=det_quant,
                                  rn_patch_size=args.rn_patch_size,
                                  hires=args.hires,
                                  geom_decode=args.geom_decode,
@@ -302,6 +309,9 @@ def main(argv=None):
     if args.hires and (args.breakdown or args.fused_head):
         raise SystemExit("--hires composes with --with-pose only "
                          "(breakdown/fused-head time the base-res stages)")
+    if det_quant and args.fused_head:
+        raise SystemExit("--fused-head needs the f32 detector "
+                         "(trunk_only tap); pass an f32 checkpoint")
     obj = jnp.asarray(inner_corner_object_points(cfg.row_count, cfg.col_count,
                                                  cfg.square_len))
     gxy = obj[:, :2] if args.geom_decode else None

@@ -195,7 +195,11 @@ class QuantDetector:
               train: bool = False):
         if train:
             raise ValueError("QuantDetector is inference-only")
-        # x is (g−128)/255 with g uint8-valued ⇒ round(x·255) is exact.
+        # x is (g−128)/255. For integer-valued gray g (the base-resolution
+        # uint8 path) round(x·255) recovers g−128 exactly; fractional grays
+        # (hires pooled views, BGR→gray means) add up to ±0.5 gray-level of
+        # input quantization vs the f32 detector — int8 is validated at base
+        # resolution (scripts/quantize_detector.py, tests/test_quant.py).
         q = jnp.clip(jnp.round(x.astype(jnp.float32) * 255.0), -128, 127
                      ).astype(jnp.int8)
         pad = 0  # input layer: int8 zero IS the f32 path's padding zero
@@ -214,8 +218,10 @@ class QuantDetector:
 
 
 def qvars_to_npz(path: str, qvars: Dict[str, Any]) -> None:
-    """Flat npz serialization (int8 kernels kept int8 on disk)."""
-    flat = {}
+    """Flat npz serialization (int8 kernels kept int8 on disk). Writes a
+    ``__quant__`` marker key so ``pipeline.is_quantized_npz`` routes by an
+    explicit tag instead of sniffing kernel names."""
+    flat = {"__quant__": np.int8(1)}
     for name, layer in qvars.items():
         for k, v in layer.items():
             flat[f"{name}/{k}"] = np.asarray(v)
@@ -226,6 +232,8 @@ def qvars_from_npz(path: str) -> Dict[str, Any]:
     with np.load(path) as z:
         q: Dict[str, Any] = {}
         for key in z.files:
+            if key == "__quant__":
+                continue
             name, k = key.split("/", 1)
             q.setdefault(name, {})[k] = jnp.asarray(z[key])
     return q

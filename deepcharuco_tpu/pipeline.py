@@ -18,6 +18,8 @@ Functional core + a thin convenience class:
 from __future__ import annotations
 
 import dataclasses
+import os
+import zipfile
 from typing import Optional
 
 import jax
@@ -480,12 +482,19 @@ def variables_from_npz(path: str):
 
 def is_quantized_npz(ckpt: Optional[str]) -> bool:
     """True if ``ckpt`` is an int8 detector artifact (models/quant.py
-    ``qvars_to_npz`` layout), distinguishable from an f32 variables npz by
-    its flat ``<block>/w`` int8 kernel keys."""
-    if not (ckpt and str(ckpt).endswith(".npz")):
+    ``qvars_to_npz`` layout): the ``__quant__`` marker key, or (for
+    artifacts written before the marker) a flat ``conv1a/w`` kernel that is
+    actually int8. Missing/corrupt files return False so the f32 loader
+    raises its own, clearer error."""
+    if not (ckpt and str(ckpt).endswith(".npz") and os.path.isfile(ckpt)):
         return False
-    with np.load(ckpt) as z:
-        return "conv1a/w" in z.files
+    try:
+        with np.load(ckpt) as z:
+            if "__quant__" in z.files:
+                return True
+            return "conv1a/w" in z.files and z["conv1a/w"].dtype == np.int8
+    except (OSError, ValueError, zipfile.BadZipFile):
+        return False
 
 
 def load_detector_any(ckpt: Optional[str], n_ids: int,

@@ -437,10 +437,10 @@ def test_reselect_ransac_rejects_decoy_constellation():
         val[b, 1] = True
     kp[val] += rng.normal(0, 0.3, kp[val].shape).astype(np.float32)
 
-    # default (64 subsets) and the reduced-cost 16-subset setting must both
+    # the shipped default (32 subsets) plus the 64/16 sweep points must all
     # reject the decoy plane (the 512-sample sweep measured them identical
     # on every stream; this pins that equivalence at the unit level)
-    for n_subsets in (64, 16):
+    for n_subsets in (64, 32, 16):
         out_kp, out_v = jax.jit(lambda a, b: reselect_by_homography(
             a, b, jnp.asarray(bx), ransac_subsets=n_subsets,
         ))(jnp.asarray(kp), jnp.asarray(val))
