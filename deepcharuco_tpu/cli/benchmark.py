@@ -69,6 +69,16 @@ def build_argparser():
                    help="with --geom-decode: RANSAC seed subset count "
                         "(ops/geom.py ransac_subsets; 0 = least-squares "
                         "seed) — the cost/robustness knob")
+    p.add_argument("--geom-fill", action="store_true",
+                   help="with --geom-decode: also fill undetected in-frame "
+                        "ids from the fitted homography + RefineNet pass — "
+                        "completes the README-recommended production "
+                        "configuration")
+    p.add_argument("--rn-decode", choices=["soft", "offset", "avg"],
+                   default=None,
+                   help="RefineNet heatmap decode (avg = the RN-32 shipped "
+                        "accuracy configuration; needs an offset-head "
+                        "checkpoint). Default: reference hard argmax")
     p.add_argument("--fused-head", action="store_true",
                    help="A/B the detector→keypoints stage: XLA heads + jnp "
                         "decode vs the fused Pallas head+decode kernel "
@@ -193,7 +203,8 @@ def main(argv=None):
     # program below accepts it unchanged.
     det_quant = "int8" if is_quantized_npz(args.deepc) else None
     det, dv = load_detector_any(args.deepc, cfg.n_ids)
-    rn = RefineNet(patch_size=args.rn_patch_size)
+    rn = RefineNet(patch_size=args.rn_patch_size,
+                   offset_head=args.rn_decode in ("offset", "avg"))
     dv = jax.device_put(dv)
     if args.refinenet is None and args.rn_patch_size != 24:
         ps = args.rn_patch_size
@@ -239,8 +250,10 @@ def main(argv=None):
         pipe = InferencePipeline(cfg, dv, rv,
                                  det_quant=det_quant,
                                  rn_patch_size=args.rn_patch_size,
+                                 rn_decode=args.rn_decode,
                                  hires=args.hires,
                                  geom_decode=args.geom_decode,
+                                 geom_fill=args.geom_fill,
                                  geom_ransac=args.geom_ransac)
         rng = np.random.default_rng(0)
 
@@ -319,29 +332,30 @@ def main(argv=None):
         h, w = cfg.input_hw
         K = jnp.asarray(np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], np.float32))
         dist = jnp.zeros(5, jnp.float32)
+    geom_kw = dict(geom_board_xy=gxy, geom_ransac=args.geom_ransac,
+                   geom_fill=args.geom_fill)
+    if args.with_pose:
         if args.hires:
             from deepcharuco_tpu.pipeline import full_forward_hires
 
             dist12 = jnp.zeros(12, jnp.float32)
             fn = jax.jit(lambda dv, rv, x: full_forward_hires(
                 det, rn, dv, rv, x, cfg.n_ids, obj, K, dist12,
-                geom_board_xy=gxy, geom_ransac=args.geom_ransac,
-                scale=args.hires))
+                rn_decode=args.rn_decode, scale=args.hires, **geom_kw))
         else:
-            fn = jax.jit(lambda dv, rv, x: full_forward(det, rn, dv, rv, x, cfg.n_ids,
-                                                        obj, K, dist,
-                                                        geom_board_xy=gxy,
-                                                        geom_ransac=args.geom_ransac))
+            fn = jax.jit(lambda dv, rv, x: full_forward(
+                det, rn, dv, rv, x, cfg.n_ids, obj, K, dist,
+                rn_decode=args.rn_decode, **geom_kw))
     elif args.hires:
         from deepcharuco_tpu.pipeline import two_stage_forward_hires
 
         fn = jax.jit(lambda dv, rv, x: two_stage_forward_hires(
-            det, rn, dv, rv, x, cfg.n_ids, geom_board_xy=gxy,
-            geom_ransac=args.geom_ransac, scale=args.hires))
+            det, rn, dv, rv, x, cfg.n_ids,
+            rn_decode=args.rn_decode or "soft", scale=args.hires, **geom_kw))
     else:
         fn = jax.jit(lambda dv, rv, x: two_stage_forward(
-            det, rn, dv, rv, x, cfg.n_ids, geom_board_xy=gxy,
-            geom_ransac=args.geom_ransac))
+            det, rn, dv, rv, x, cfg.n_ids,
+            rn_decode=args.rn_decode, **geom_kw))
 
     xs = _input_variants(x, args.iters)
     dt = _time_fn(fn, [(dv, rv, v) for v in xs], args.iters, args.warmup,
@@ -357,13 +371,23 @@ def main(argv=None):
     if args.breakdown:
         from deepcharuco_tpu.ops import normalize_gray
 
-        det_fn = jax.jit(lambda dv, x: det.apply(dv, normalize_gray(x)))
+        # The detector program returns its full logit maps (so XLA can't
+        # dead-code-eliminate either head) PLUS a tiny completion leaf at
+        # index 2 where _time_fn's `--fetch refined` grab looks: fetching
+        # the ~100 MB of batch-256 logits per iteration benchmarks the
+        # tunnel, not the chip (measured: "detector-only 133 fps" vs 3.7k
+        # fps two-stage under fetch=all on a degraded tunnel).
+        def det_prog(dv, x):
+            out = det.apply(dv, normalize_gray(x))
+            return out["loc"], out["ids"], out["loc"][:, 0, 0, :2]
+
+        det_fn = jax.jit(det_prog)
         dt_d = _time_fn(det_fn, [(dv, v) for v in xs], args.iters, args.warmup,
-                        depth=args.depth)
+                        depth=args.depth, fetch=args.fetch)
         print(f"detector-only: {args.batch * args.iters / dt_d:.1f} fps")
         two = jax.jit(lambda dv, rv, x: two_stage_forward(det, rn, dv, rv, x, cfg.n_ids))
         dt_2 = _time_fn(two, [(dv, rv, v) for v in xs], args.iters, args.warmup,
-                        depth=args.depth)
+                        depth=args.depth, fetch=args.fetch)
         print(f"two-stage: {args.batch * args.iters / dt_2:.1f} fps")
 
     if args.fused_head:

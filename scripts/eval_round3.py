@@ -23,7 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("detector")
+    ap.add_argument("detector", nargs="+",
+                    help="one or more detector checkpoints (.npz / orbax "
+                         "ckpt names / int8 qvars npz). Multiple candidates "
+                         "share ONE process, ONE compiled program (weights "
+                         "are a jit argument) and IDENTICAL eval streams — "
+                         "the matched-soup-sweep protocol without paying "
+                         "the tunnel compile per checkpoint.")
     ap.add_argument("--refinenet", default="artifacts/refinenet_devsynth.npz")
     ap.add_argument("--samples", type=int, default=512)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -47,13 +53,15 @@ def main(argv=None):
 
     from deepcharuco_tpu.configs import default_config
     from deepcharuco_tpu.data.device_synth import DeviceSynthesizer
-    from deepcharuco_tpu.models import Detector
     from deepcharuco_tpu.ops import label_to_keypoints, pred_to_keypoints
-    from deepcharuco_tpu.pipeline import load_model_variables
+    from deepcharuco_tpu.pipeline import load_detector_any
 
     cfg = default_config()
-    det = Detector(n_ids=cfg.n_ids, dtype=jnp.float32)
-    dv = load_model_variables(args.detector, "detector", cfg.n_ids)
+    candidates = []  # (name, det_obj, dv)
+    for path in args.detector:
+        det_i, dv_i = load_detector_any(path, cfg.n_ids,
+                                        compute_dtype=jnp.float32)
+        candidates.append((path, det_i, dv_i))
 
     if args.geom:
         from deepcharuco_tpu.board import inner_corner_object_points
@@ -64,22 +72,35 @@ def main(argv=None):
             cfg.row_count, cfg.col_count, cfg.square_len)[:, :2])
         h, w = cfg.input_hw
 
-        @jax.jit
-        def fwd(images):
-            out = det.apply(dv, images)
-            kp, v = pred_to_keypoints_geom(out["loc"], out["ids"], cfg.n_ids,
-                                           board_xy)
-            if args.fill:
-                kp, v, _ = jax.vmap(lambda k, m: fill_from_homography(
-                    k, m, board_xy, (h, w)))(kp, v)
-            return kp, v
-    else:
-        @jax.jit
-        def fwd(images):
-            out = det.apply(dv, images)
-            return pred_to_keypoints(out["loc"], out["ids"], cfg.n_ids)
+    # ONE compiled program per detector CLASS (weights are an argument, so
+    # every f32 candidate reuses the first compile — the tunnel charges
+    # ~minutes per compile, which used to be paid once per checkpoint).
+    _fwd_cache = {}
 
-    def score(batches, name, per_frame_target=None):
+    def make_fwd(det):
+        key = type(det)
+        if key in _fwd_cache:
+            return _fwd_cache[key]
+
+        if args.geom:
+            @jax.jit
+            def fwd(dv, images):
+                out = det.apply(dv, images)
+                kp, v = pred_to_keypoints_geom(out["loc"], out["ids"],
+                                               cfg.n_ids, board_xy)
+                if args.fill:
+                    kp, v, _ = jax.vmap(lambda k, m: fill_from_homography(
+                        k, m, board_xy, (h, w)))(kp, v)
+                return kp, v
+        else:
+            @jax.jit
+            def fwd(dv, images):
+                out = det.apply(dv, images)
+                return pred_to_keypoints(out["loc"], out["ids"], cfg.n_ids)
+        _fwd_cache[key] = fwd
+        return fwd
+
+    def score(fwd, batches, name, per_frame_target=None):
         """batches: iterable of (images, kp_true, valid_true)."""
         errs, n_match, n_tgt, n_pred, n_out = [], 0, 0, 0, 0
         frames_ok = frames_tot = 0
@@ -121,8 +142,6 @@ def main(argv=None):
             images, _, _, kpts, vis = full(jax.random.PRNGKey(j))
             yield images, kpts, vis
 
-    r_dev, o_dev = score(device_batches(), "device (r2 protocol)")
-
     # 2) frontal probe at scale 1.0, standard photometrics
     fr = DeviceSynthesizer(cfg, negative_p=0.0, axis_snap_p=1.0,
                            scale_range=(1.0, 1.0001))
@@ -135,28 +154,30 @@ def main(argv=None):
             images, _, _, kpts, vis = fr_full(jax.random.PRNGKey(500 + j))
             yield images, kpts, vis
 
-    score(frontal_batches(), "frontal scale=1.0", per_frame_target=14)
-
-    # 3) host (reference-semantics) stream
+    # 3) host (reference-semantics) stream — cv2 synthesis on the 1-core
+    # host is the slow part, so materialize it ONCE and reuse across
+    # candidates (also guarantees an identical stream for every candidate).
     from deepcharuco_tpu.data import CharucoDataset
 
     ds = CharucoDataset(cfg, validation=True)
+    _host_cache = []
 
     def host_batches():
-        for j in range(nb):
-            items = [ds[j * bs + k] for k in range(bs)]
-            images = jnp.asarray(np.stack([it["image"] for it in items]))
-            loc = jnp.asarray(np.stack([it["loc"] for it in items]))
-            ids = jnp.asarray(np.stack([it["ids"] for it in items]))
-            kp_t, v_t = label_to_keypoints(loc, ids, cfg.n_ids)
-            yield images, kp_t, v_t
-
-    r_host, _ = score(host_batches(), "host (reference)")
+        if not _host_cache:
+            for j in range(nb):
+                items = [ds[j * bs + k] for k in range(bs)]
+                images = jnp.asarray(np.stack([it["image"] for it in items]))
+                loc = jnp.asarray(np.stack([it["loc"] for it in items]))
+                ids = jnp.asarray(np.stack([it["ids"] for it in items]))
+                kp_t, v_t = label_to_keypoints(loc, ids, cfg.n_ids)
+                _host_cache.append((images, kp_t, v_t))
+        return iter(_host_cache)
 
     # 4) real photo
     import os
 
     img_path = "/root/reference/src/reference/samples_test/IMG_7412.png"
+    photo = None
     if os.path.exists(img_path):
         import cv2
 
@@ -164,10 +185,21 @@ def main(argv=None):
 
         img = cv2.imread(img_path)
         g = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
-        kp, v = fwd(normalize_gray(jnp.asarray(g[None])))
-        found = int(np.asarray(v).sum())
-        print(f"{'IMG_7412':22s} corners {found}/16 "
-              f"(ids {np.nonzero(np.asarray(v)[0])[0].tolist()})")
+        photo = normalize_gray(jnp.asarray(g[None]))
+
+    for path, det, dv in candidates:
+        if len(candidates) > 1:
+            print(f"\n=== {path} ===", flush=True)
+        fwd = make_fwd(det)
+        score(lambda b: fwd(dv, b), device_batches(), "device (r2 protocol)")
+        score(lambda b: fwd(dv, b), frontal_batches(), "frontal scale=1.0",
+              per_frame_target=14)
+        score(lambda b: fwd(dv, b), host_batches(), "host (reference)")
+        if photo is not None:
+            kp, v = fwd(dv, photo)
+            found = int(np.asarray(v).sum())
+            print(f"{'IMG_7412':22s} corners {found}/16 "
+                  f"(ids {np.nonzero(np.asarray(v)[0])[0].tolist()})")
 
     print("\ntargets: device ≥0.965, host ≥0.965, outliers <0.05%, "
           "frontal ≥14/16, photo ≥14/16")
