@@ -232,9 +232,14 @@ def main(argv=None):
 
     eff_batch = (max(1, args.stream_chunk) * args.multi_stream
                  if args.multi_stream > 0 else args.batch)
+    # Under the hires tap the detector (the activation hog) runs on the
+    # pooled view — budget at that resolution, not the raw input's (the
+    # full-res side costs only the uint8 frames + patch gathers).
+    gh, gw = frame.shape[0], frame.shape[1]
+    if args.hires:
+        gh, gw = gh // args.hires, gw // args.hires
     try:
-        check_hbm_budget(eff_batch, frame.shape[0], frame.shape[1],
-                         context="benchmark batch")
+        check_hbm_budget(eff_batch, gh, gw, context="benchmark batch")
     except ValueError as e:
         raise SystemExit(str(e))
 

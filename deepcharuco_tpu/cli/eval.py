@@ -93,7 +93,7 @@ def main(argv=None):
     import numpy as np
 
     from deepcharuco_tpu.configs import default_config, load_configuration
-    from deepcharuco_tpu.models import Detector, RefineNet
+    from deepcharuco_tpu.models import RefineNet
     from deepcharuco_tpu.ops import (
         extract_patches,
         label_to_keypoints,
@@ -101,14 +101,16 @@ def main(argv=None):
         refine_keypoints,
         refine_keypoints_soft,
     )
-    from deepcharuco_tpu.pipeline import load_model_variables
+    from deepcharuco_tpu.pipeline import load_detector_any, load_model_variables
 
     cfg = load_configuration(args.config) if args.config else default_config()
-    det = Detector(n_ids=cfg.n_ids, dtype=jnp.float32)
+    # int8 artifacts (scripts/quantize_detector.py) route automatically —
+    # QuantDetector mirrors Detector.apply's contract
+    det, dv = load_detector_any(args.deepc, cfg.n_ids,
+                                compute_dtype=jnp.float32)
     rn = RefineNet(dtype=jnp.float32, upsample=args.rn_upsample,
                    patch_size=args.rn_patch_size,
                    offset_head=args.rn_offset or args.rn_avg)
-    dv = load_model_variables(args.deepc, "detector", cfg.n_ids)
     if args.refinenet is None:
         # init must match THIS eval's architecture (patch size / offset head),
         # not load_model_variables' default 24-patch parity net

@@ -251,7 +251,11 @@ class DeviceQueueServer:
         block, step_idxs = self._gather_chunk()
         if block is None:
             return None
-        check_hbm_budget(block.shape[0], block.shape[1], block.shape[2],
+        # Under a hires pipeline the detector (the activation hog) sees the
+        # pooled view — budget at that resolution, not the raw frames'.
+        s = getattr(self.pipeline, "hires_scale", 1) or 1
+        check_hbm_budget(block.shape[0], block.shape[1] // s,
+                         block.shape[2] // s,
                          context=f"DeviceQueueServer chunk={self.chunk} x "
                                  f"{self.capacity} streams")
         x = self._jax.device_put(block)  # one async upload per chunk

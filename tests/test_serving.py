@@ -127,3 +127,28 @@ def test_device_queue_server_rejects_oversized_chunk():
     server = DeviceQueueServer(_pipe(), streams, chunk=32)
     with pytest.raises(ValueError, match="DeviceQueueServer chunk=32"):
         next(server.run())
+
+
+def test_hbm_guard_budgets_hires_at_pooled_resolution():
+    """A hires pipeline's detector runs on the pooled view, so chunk x
+    streams that would overflow at raw VGA must pass when hires_scale=2
+    (round-4 measured hires-2 VGA batches run fine where two-stage VGA
+    OOMs)."""
+
+    class _FakeHiresPipe:
+        hires_scale = 2
+        det_vars = rn_vars = None
+
+        def _two_stage(self, dv, rv, x):
+            n = x.shape[0]
+            z = np.zeros((n, 16, 2), np.float32)
+            return z, np.zeros((n, 16), bool), z
+
+    frames = [np.zeros((480, 640), np.uint8)] * 32
+    streams = [VideoStream(iter(frames), name=f"s{i}") for i in range(8)]
+    # 32 x 8 = 256 raw-VGA frames: rejected for a base pipeline (see
+    # test_device_queue_server_rejects_oversized_chunk) but inside budget
+    # at the pooled 320x240 view
+    server = DeviceQueueServer(_FakeHiresPipe(), streams, chunk=32)
+    steps = list(server.run())
+    assert len(steps) == 32 * 8 / 8  # 32 steps of 8 streams
