@@ -31,7 +31,11 @@ import pytest  # noqa: E402
 # calls; the ≥12 s band alone left the default run at 9:37 — too little
 # margin under the <10 min budget, hence the 10–12 s band too).
 # Centralized here rather than decorating 15 files; every entry still
-# runs under RUN_SLOW=1. Deliberately NOT listed despite qualifying:
+# runs under RUN_SLOW=1. Fast smoke-level variants of the geom behavioral
+# pins were considered and measured infeasible: even a ransac_subsets=8
+# reselect jit costs 23 s of COMPILE on this host (the unrolled small-
+# matrix eigensolves dominate, not the work), so any geom smoke lands in
+# the slow band by construction. Deliberately NOT listed despite qualifying:
 # test_graft_entry.py::test_entry_compiles_and_runs (12.2 s, pins a
 # driver gate) and test_golden.py::test_pipeline_matches_golden (11.2 s,
 # pins the shipped artifacts) stay in the default subset. When a test's
