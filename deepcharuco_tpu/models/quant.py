@@ -198,8 +198,10 @@ class QuantDetector:
         # x is (g−128)/255. For integer-valued gray g (the base-resolution
         # uint8 path) round(x·255) recovers g−128 exactly; fractional grays
         # (hires pooled views, BGR→gray means) add up to ±0.5 gray-level of
-        # input quantization vs the f32 detector — int8 is validated at base
-        # resolution (scripts/quantize_detector.py, tests/test_quant.py).
+        # input quantization vs the f32 detector — measured harmless at the
+        # hires production composition (recall 0.974 vs 0.976, refined
+        # agreement ≤0.14 px; BENCH_NOTES round-5 int8 section,
+        # tests/test_quant.py::test_int8_composes_with_hires_tap).
         q = jnp.clip(jnp.round(x.astype(jnp.float32) * 255.0), -128, 127
                      ).astype(jnp.int8)
         pad = 0  # input layer: int8 zero IS the f32 path's padding zero

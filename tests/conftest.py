@@ -51,6 +51,7 @@ _SLOW = {
     "test_pnp_ransac.py::test_ransac_batch",
     "test_quant.py::test_int8_decode_agrees_with_f32_on_shipped_weights",
     "test_quant.py::test_qvars_npz_roundtrip_and_load_pipeline_autodetect",
+    "test_quant.py::test_int8_composes_with_hires_tap",
     "test_cli.py::test_eval_cli_device_source",
     "test_cli.py::test_eval_cli_frontal_probe",
     "test_cli.py::test_eval_cli_rn_avg_decode",

@@ -107,6 +107,54 @@ def test_qvars_npz_roundtrip_and_load_pipeline_autodetect(tmp_path):
     assert int(np.asarray(v_p).sum()) >= 12
 
 
+RN32 = "artifacts/refinenet32_devsynth.npz"
+INT8 = "artifacts/detector_devsynth_int8.npz"
+
+
+@pytest.mark.skipif(not (os.path.exists(DETECTOR) and os.path.exists(INT8)
+                         and os.path.exists(RN32)),
+                    reason="shipped artifacts absent")
+def test_int8_composes_with_hires_tap():
+    """The production-shaped composition (hires-2 tap + RN-32 avg) must
+    serve the int8 artifact too: QuantDetector sees the 2×2-average-pooled
+    view (fractional grays ⇒ ±0.5 gray-level input quantization — the one
+    input-domain difference vs the base-resolution path, models/quant.py),
+    so this pins that the extra input rounding doesn't break decode
+    agreement with the f32 pipeline on a real board frame."""
+    from deepcharuco_tpu import board as B
+    from deepcharuco_tpu.pipeline import load_pipeline
+    import cv2
+
+    img, _ = B.board_image(B.get_board(CFG), (400, 400),
+                           CFG.row_count, CFG.col_count)
+    frame = np.full((480, 640), 128, np.uint8)
+    frame[40:440, 120:520] = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+
+    outs = {}
+    for name, ckpt in (("f32", DETECTOR), ("int8", INT8)):
+        pipe = load_pipeline(CFG, ckpt, RN32, hires=True,
+                             rn_patch_size=32, rn_decode="avg")
+        kp, v, refined = pipe.detect(frame[None])
+        outs[name] = (np.asarray(kp), np.asarray(v), np.asarray(refined))
+
+    (kp_f, v_f, r_f), (kp_q, v_q, r_q) = outs["f32"], outs["int8"]
+    assert int(v_f.sum()) >= 12 and int(v_q.sum()) >= 12
+    assert float((v_f == v_q).mean()) >= 0.9
+    both = v_f & v_q
+    d_kp = np.linalg.norm(kp_f - kp_q, axis=-1)[both]
+    # decode cells are integer-pixel in pooled-view units; the ±0.5-gray
+    # pooled-view rounding flips borderline 1-px offset bins on a minority
+    # of corners (measured 4/16 on this frame, each by exactly 1 px) —
+    # never a cell-level (8-px) divergence
+    assert float((d_kp == 0).mean()) >= 0.5, f"identical frac {(d_kp == 0).mean()}"
+    assert float(d_kp.max()) <= 1.5, f"kp max delta {d_kp.max()}"
+    # the product contract: after refinement the two pipelines agree to
+    # sub-pixel on every corner both detect (RefineNet absorbs the bin
+    # flips — measured ≤0.14 px on this frame)
+    d_ref = np.linalg.norm(r_f - r_q, axis=-1)[both]
+    assert float(d_ref.max()) <= 0.3, f"refined max delta {d_ref.max()}"
+
+
 def test_int8_logits_track_f32_smoke():
     """Fast-subset smoke (the artifact pins above are slow-marked): on a
     random-init detector and small frames, the quantized forward's logits
