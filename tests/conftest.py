@@ -52,6 +52,7 @@ _SLOW = {
     "test_quant.py::test_int8_decode_agrees_with_f32_on_shipped_weights",
     "test_quant.py::test_qvars_npz_roundtrip_and_load_pipeline_autodetect",
     "test_quant.py::test_int8_composes_with_hires_tap",
+    "test_rn_decode.py::test_rn_decode_offset_dce_drops_heatmap_pyramid",
     "test_cli.py::test_eval_cli_device_source",
     "test_cli.py::test_eval_cli_frontal_probe",
     "test_cli.py::test_eval_cli_rn_avg_decode",

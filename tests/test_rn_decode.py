@@ -75,6 +75,30 @@ def test_inference_pipeline_rn_decode_avg(tmp_path):
     assert np.isfinite(refined).all()
 
 
+def test_rn_decode_offset_dce_drops_heatmap_pyramid():
+    """The fast serving mode's mechanism (round 5, BENCH_NOTES "offset fast
+    mode"): with ``rn_decode="offset"`` the refined output depends only on
+    the RefineNet trunk + offset branch, so XLA dead-code-eliminates the
+    64×64 heatmap decoder (conv4*/conv5*/convPa/convPb — the bulk of
+    RefineNet's FLOPs; chip-measured 3,271 → 4,875 fps at batch 256).
+    Pin the mechanism, not the fps: the compiled offset program must cost
+    well under 3/4 of the avg program's FLOPs (analytic ratio ≈ 0.59 at
+    16 patches/frame on 240×320 input)."""
+    det, rn, dv, rv = _models(offset_head=True)
+
+    def flops(mode):
+        fn = jax.jit(lambda dv, rv, x: two_stage_forward(
+            det, rn, dv, rv, x, N_IDS, rn_decode=mode))
+        x = jnp.zeros((2, 240, 320), jnp.uint8)
+        cost = fn.lower(dv, rv, x).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+
+    f_avg, f_off = flops("avg"), flops("offset")
+    assert f_off < 0.75 * f_avg, (f_off, f_avg)
+
+
 def test_rn_decode_none_backcompat_matches_soft_refine_flag():
     """rn_decode=None defers to the legacy soft_refine bool."""
     det, rn, dv, rv = _models(offset_head=True)
