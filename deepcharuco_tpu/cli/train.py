@@ -80,6 +80,14 @@ def build_argparser():
                    help="with --device-synth: raise the board scale range's "
                         "upper end (reference parity is 0.9; 1.05 teaches "
                         "full-frame boards, where frontal probes failed)")
+    p.add_argument("--low-gain-p", type=float, default=0.0,
+                   help="with --device-synth: probability of the "
+                        "multiplicative low-light model (sensor gain + read "
+                        "noise + uint8 quantization) — the reference diet "
+                        "darkens additively only, which leaves the detector "
+                        "blind below ~0.2x multiplicative brightness")
+    p.add_argument("--low-gain-min", type=float, default=0.08,
+                   help="darkest sensor gain in the --low-gain-p diet")
     p.add_argument("--bg-bank", type=int, default=0,
                    help="with --device-synth: upload N grayscale background "
                         "images ONCE (from --images/--labels, else the host "
@@ -199,7 +207,8 @@ def main(argv=None):
             cfg, axis_snap_p=args.axis_snap_p, bg_bank=bank,
             bg_bank_p=args.bg_bank_p,
             scale_range=((0.25, args.scale_max) if args.scale_max else None),
-            perspective_p=args.perspective_p)
+            perspective_p=args.perspective_p,
+            low_gain_p=args.low_gain_p, low_gain_min=args.low_gain_min)
         K = max(1, args.fused_steps)
         from deepcharuco_tpu.parallel import (
             sharded_synth_train_program,

@@ -202,9 +202,24 @@ def _dropout_mask(key, hw: Tuple[int, int], p: float):
     return hole & apply
 
 
-def _photometric(key, img: jnp.ndarray):
+def _photometric(key, img: jnp.ndarray, low_gain_p: float = 0.0,
+                 low_gain_range=(0.08, 0.6)):
     """Gray photometric stack: contrast/brightness/noise/multiplicative +
-    probabilistic 3-tap blur. img in [0,255]."""
+    probabilistic 3-tap blur. img in [0,255].
+
+    ``low_gain_p`` adds the MULTIPLICATIVE low-light model the reference
+    diet lacks: its darkness is additive (RandomBrightnessContrast,
+    ``src/transformations.py:115`` — bright pixels keep their gradient
+    structure until clipping), whereas a real under-exposed sensor scales
+    the whole signal (gain γ · luminance), adds read noise, and quantizes
+    to uint8 — squeezing a board into a handful of gray levels. Measured
+    consequence (tests/test_charuco_calib.py): the shipped round-3 detector
+    fails below ~0.2× multiplicative brightness despite training to −0.8
+    additive. With probability ``low_gain_p`` the finished frame is scaled
+    by γ ~ U(low_gain_range), read-noised, and rounded to integer levels.
+    ``low_gain_p=0`` keeps the stream bit-identical to rounds 1–5 (no extra
+    key consumption on the base path).
+    """
     ks = jax.random.split(key, 8)
     contrast = jnp.where(jax.random.uniform(ks[0]) < 0.5,
                          jax.random.uniform(ks[1], (), minval=0.8, maxval=1.2), 1.0)
@@ -226,7 +241,20 @@ def _photometric(key, img: jnp.ndarray):
                                           minval=0.3, maxval=1.0), 0.0)
     blurred = _box3(img)
     img = img * (1 - blur_w) + blurred * blur_w
-    return jnp.clip(img, 0.0, 255.0)
+    img = jnp.clip(img, 0.0, 255.0)
+    if low_gain_p > 0.0:
+        kg = jax.random.fold_in(key, 23)
+        on = jax.random.uniform(jax.random.fold_in(kg, 1)) < low_gain_p
+        gain = jnp.where(on, jax.random.uniform(
+            kg, (), minval=low_gain_range[0], maxval=low_gain_range[1]), 1.0)
+        read_sig = jnp.where(on, jax.random.uniform(
+            jax.random.fold_in(kg, 2), (), minval=1.0, maxval=6.0), 0.0)
+        dark = img * gain + read_sig * jax.random.normal(
+            jax.random.fold_in(kg, 3), img.shape)
+        # uint8 quantization dominates the dark signal (γ=0.1 leaves ~25
+        # gray levels); round only on the low-gain branch
+        img = jnp.where(on, jnp.round(jnp.clip(dark, 0.0, 255.0)), img)
+    return img
 
 
 def _box3(img: jnp.ndarray) -> jnp.ndarray:
@@ -256,7 +284,8 @@ class DeviceSynthesizer:
     def __init__(self, config: Config, negative_p: float = 0.05,
                  refinenet_ranges: bool = False, axis_snap_p: float = 0.0,
                  bg_bank=None, bg_bank_p: float = 0.5,
-                 scale_range=None, perspective_p: float = 0.0):
+                 scale_range=None, perspective_p: float = 0.0,
+                 low_gain_p: float = 0.0, low_gain_min: float = 0.08):
         import numpy as np
 
         from deepcharuco_tpu import board as B
@@ -284,6 +313,10 @@ class DeviceSynthesizer:
         # foreshortened end of the tilted board — a regime affine synthesis
         # never produces. 0 keeps the stream bit-identical to rounds 1-2.
         self.perspective_p = perspective_p
+        # Low-light diet (round 5): multiplicative sensor-gain darkening —
+        # see _photometric. 0 keeps the stream bit-identical to rounds 1-5.
+        self.low_gain_p = low_gain_p
+        self.low_gain_min = low_gain_min
         if refinenet_ranges:  # transformations.py:24-26
             self.scale_range = (0.3, 0.75)
             self.translate_frac = (0.0, 0.0)
@@ -373,7 +406,8 @@ class DeviceSynthesizer:
         is_negative = jax.random.uniform(ks[3]) < self.negative_p
         paste = on_board & ~hole & ~is_negative
         img = jnp.where(paste, board_val, bg)
-        img = _photometric(ks[4], img)
+        img = _photometric(ks[4], img, low_gain_p=self.low_gain_p,
+                           low_gain_range=(self.low_gain_min, 0.6))
 
         # Keypoints: forward-transform the canvas corners (exact through the
         # same homography the pixels went through).

@@ -37,13 +37,16 @@ import pytest  # noqa: E402
 # matrix eigensolves dominate, not the work), so any geom smoke lands in
 # the slow band by construction. Deliberately NOT listed despite qualifying:
 # test_graft_entry.py::test_entry_compiles_and_runs (12.2 s, pins a
-# driver gate) and test_golden.py::test_pipeline_matches_golden (11.2 s,
-# pins the shipped artifacts) stay in the default subset. When a test's
-# cost changes materially, re-profile and update this list.
+# driver gate), test_golden.py::test_pipeline_matches_golden (11.2 s,
+# pins the shipped artifacts), and the two test_lowlight_diet.py contract
+# pins (12-13 s each, pin the round-5 low-gain knob's bit-identity and
+# label-invariance) stay in the default subset. When a test's cost
+# changes materially, re-profile and update this list.
 _SLOW = {
     "test_device_synth.py::test_device_synth_negative_probability",
     "test_frame_patches.py::test_frame_patch_label_inverts_refine_mapping",
     "test_hires_tap.py::test_hires_forward_shapes_and_units",
+    "test_lowlight_diet.py::test_train_cli_accepts_low_gain_flags",
     "test_other_boards.py::test_device_synth_small_board",
     "test_pipeline.py::test_full_forward_pose_outputs",
     "test_pipeline.py::test_inference_pipeline_class",
