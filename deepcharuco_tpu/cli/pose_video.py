@@ -50,6 +50,17 @@ def build_argparser():
                         "corners at their homography-projected positions "
                         "and refine them (classical "
                         "interpolateCornersCharuco recovery)")
+    p.add_argument("--smooth", action="store_true",
+                   help="temporal pose filter (pose_filter.PoseFilter): "
+                        "constant-velocity smoothing, planar-ambiguity flip "
+                        "rejection, and coasting through short detection "
+                        "dropouts — the reference draws each frame's raw "
+                        "PnP result")
+    p.add_argument("--smooth-gate-deg", type=float, default=15.0,
+                   help="with --smooth: per-frame rotation innovation gate")
+    p.add_argument("--smooth-max-coast", type=int, default=5,
+                   help="with --smooth: frames predicted through a dropout "
+                        "before the track is declared lost")
     return p
 
 
@@ -103,6 +114,17 @@ def main(argv=None):
 
         ransac_key = jax.random.PRNGKey(0)
 
+    pose_filter = None
+    if args.smooth:
+        from deepcharuco_tpu.pose_filter import PoseFilter
+
+        # translation gate scaled to the board: 10 squares of motion per
+        # frame is far beyond any plausible track
+        pose_filter = PoseFilter(gate_deg=args.smooth_gate_deg,
+                                 gate_t=10.0 * cfg.square_len,
+                                 max_coast=args.smooth_max_coast)
+        smooth_stats = {"tracking": 0, "coasting": 0, "lost": 0}
+
     frames_out = []
     for i in range(0, len(paths), args.batch):
         chunk = paths[i:i + args.batch]
@@ -123,6 +145,18 @@ def main(argv=None):
             kp, valid, refined, ok, rvec, tvec, rms = pipe.detect_with_pose(batch)
         # draw in the frame's own pixels (identity unless --hires)
         kp, refined = pipe.input_coords(kp), pipe.input_coords(refined)
+
+        if pose_filter is not None:
+            # sequential by nature: consume the batch's poses in frame order
+            ok = np.asarray(ok).copy()
+            rvec = np.asarray(rvec, np.float64).copy()
+            tvec = np.asarray(tvec, np.float64).copy()
+            for j in range(len(imgs)):
+                ok_f, rv_f, tv_f, state = pose_filter.update(
+                    bool(ok[j]), rvec[j].reshape(3), tvec[j].reshape(3))
+                smooth_stats[state] += 1
+                ok[j], rvec[j], tvec[j] = ok_f, rv_f.reshape(rvec[j].shape), \
+                    tv_f.reshape(tvec[j].shape)
 
         for j, img in enumerate(imgs):
             vis = B.draw_keypoints_with_validity(img, kp[j], valid[j],
@@ -149,6 +183,10 @@ def main(argv=None):
                 vis = np.hstack([vis, base])
             frames_out.append(vis)
         print(f"{min(i + args.batch, len(paths))}/{len(paths)} frames")
+
+    if pose_filter is not None:
+        print("pose filter: " + ", ".join(
+            f"{k} {v}" for k, v in smooth_stats.items()))
 
     out = args.out or os.path.join(args.input_dir, "res.mp4")
     save_video(frames_out, out, fps=args.fps)

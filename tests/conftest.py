@@ -61,6 +61,7 @@ _SLOW = {
     "test_cli.py::test_eval_cli_rn_avg_decode",
     "test_cli.py::test_pose_video_cli",
     "test_cli.py::test_pose_video_cli_ransac",
+    "test_cli.py::test_pose_video_cli_smooth",
     "test_cli.py::test_train_cli_bg_bank_and_perspective",
     "test_cli.py::test_train_cli_device_synth_fused",
     "test_cli.py::test_train_cli_few_steps",

@@ -152,6 +152,22 @@ def test_pose_video_cli_ransac(tmp_path):
     assert os.path.exists(out) and os.path.getsize(out) > 0
 
 
+def test_pose_video_cli_smooth(tmp_path, capsys):
+    """--smooth runs the temporal PoseFilter over the frame stream and
+    reports the tracking/coasting/lost summary (behavioral contracts are
+    unit-tested in test_pose_filter.py)."""
+    from deepcharuco_tpu.cli.pose_video import main
+
+    frames = tmp_path / "frames_s"
+    frames.mkdir()
+    for i in range(3):
+        _board_frame(frames, name=f"f_{i:03d}.png")
+    out = str(tmp_path / "res_s.mp4")
+    main([str(frames), "--out", out, "--batch", "2", "--smooth"])
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    assert "pose filter:" in capsys.readouterr().out
+
+
 def test_train_cli_mixed_diet(tmp_path, capsys):
     """Device-synth training with a host-pipeline batch every 2nd dispatch
     plus host-stream validation scalars (the round-2 mixed diet)."""
